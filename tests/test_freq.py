@@ -1,0 +1,94 @@
+"""FFT-domain beamformer vs the NumPy transcription of the reference web
+backend, plus MVDR property tests."""
+
+import numpy as np
+import pytest
+
+import zybo_rt_sampler_image_detection_tpu as zrt
+from zybo_rt_sampler_image_detection_tpu.ops import freq, geometry, oracle
+
+from conftest import synth_frame
+
+
+def test_fft_power_matches_oracle(tiny_cfg, frame):
+    cfg = tiny_cfg
+    t = freq.make_freq_tables(cfg, 100.0, 20000.0)
+    phase, (lo, hi) = geometry.phase_shift_tensor(cfg, 100.0, 20000.0)
+    active, _ = geometry.active_microphones(cfg)
+    # the oracle consumes time-major (N, M) like receive() provides to main()
+    ref_power = None
+    sig_tm = frame[active, :].T
+    fft = np.fft.rfft(sig_tm, axis=0)[lo:hi, :]
+    fft = fft.reshape(fft.shape[0], fft.shape[1], 1, 1)
+    power = (np.abs((fft * phase).sum(axis=1)) ** 2).sum(axis=0)
+    got = np.asarray(freq.fft_steered_power(frame, t))
+    np.testing.assert_allclose(got, power, rtol=2e-4, atol=1e-6)
+
+
+def test_fft_normalize_matches_reference(tiny_cfg, frame):
+    cfg = tiny_cfg
+    t = freq.make_freq_tables(cfg, 100.0, 20000.0)
+    phase, (lo, hi) = geometry.phase_shift_tensor(cfg, 100.0, 20000.0)
+    active, _ = geometry.active_microphones(cfg)
+    ref = oracle.fft_mimo(frame[active, :].T.astype(np.float64),
+                          phase, lo, hi)
+    got = np.asarray(freq.normalize_heatmap(
+        freq.fft_steered_power(frame, t)))
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-5)
+
+
+def test_fft_broadside_peak(tiny_cfg):
+    rng = np.random.default_rng(5)
+    f = synth_frame(tiny_cfg, rng, kind="replicated")
+    t = freq.make_freq_tables(tiny_cfg, 4000.0, 20000.0)
+    img = np.asarray(freq.fft_steered_power(f, t))
+    x, y = np.unravel_index(img.argmax(), img.shape)
+    cx, cy = (tiny_cfg.max_res_x - 1) / 2, (tiny_cfg.max_res_y - 1) / 2
+    assert abs(x - cx) <= 1 and abs(y - cy) <= 1
+
+
+def _delayed_source_frame(cfg, tx, ty, seed=11):
+    """Frame containing a wideband source at grid cell (tx, ty)."""
+    rng = np.random.default_rng(seed)
+    delays = geometry.calculate_delays(cfg)
+    active, _ = geometry.active_microphones(cfg)
+    base = rng.standard_normal(cfg.n_samples * 3).astype(np.float32)
+    frame = np.zeros((cfg.n_microphones, cfg.n_samples), np.float32)
+    d = delays[tx, ty]
+    lag = (d.max() - d).round().astype(int)
+    for i, m in enumerate(active):
+        s = cfg.n_samples - lag[i]
+        frame[m] = base[s : s + cfg.n_samples]
+    return frame
+
+
+def test_mvdr_localizes_source(tiny_cfg):
+    cfg = tiny_cfg
+    tx, ty = 6, 2
+    t = freq.make_freq_tables(cfg, 2000.0, 20000.0)
+    state = freq.init_covariance(t)
+    for seed in range(4):
+        frame = _delayed_source_frame(cfg, tx, ty, seed=20 + seed)
+        frame += 0.01 * np.random.default_rng(seed).standard_normal(
+            frame.shape).astype(np.float32)
+        state = freq.update_covariance(state, frame, t)
+    img = np.asarray(freq.mvdr_power(state, t))
+    x, y = np.unravel_index(img.argmax(), img.shape)
+    assert abs(x - tx) <= 1 and abs(y - ty) <= 1
+
+
+def test_mvdr_beam_recovers_signal(tiny_cfg):
+    cfg = tiny_cfg
+    tx, ty = 4, 3
+    t = freq.make_freq_tables(cfg, 0.0, None)
+    state = freq.init_covariance(t)
+    frame = _delayed_source_frame(cfg, tx, ty)
+    state = freq.update_covariance(state, frame, t)
+    d = tx * cfg.max_res_y + ty
+    beam = np.asarray(freq.mvdr_beam(state, t, frame, d))
+    # Distortionless response: the beam output should correlate strongly
+    # with what a single mic hears (same wideband source).
+    active, _ = geometry.active_microphones(cfg)
+    ref = frame[active[0]]
+    c = np.corrcoef(beam, ref)[0, 1]
+    assert abs(c) > 0.7

@@ -1,0 +1,375 @@
+"""TPU-native time-domain beamformers (JAX/XLA).
+
+Design
+------
+The reference computes each of its four delay-and-sum variants with nested
+C loops over (direction, mic, sample) — e.g. ``pad_and_sum.c:100-143`` runs
+1824 directions serially, and the AVX2 path (``convolve_and_sum.c:92-128``)
+vectorizes only the innermost 8 floats.  On TPU we restructure the whole
+family as **one dense matmul on the MXU**:
+
+Every variant writes, for direction *d* and mic *m*, a few tap weights
+``w`` at integer output shifts ``sigma``::
+
+    beam[d, n] = sum_{m,k} w[d,m,k] * s[m, n - sigma[d,m,k]]
+
+Group the shifts: build a *delay-line* tensor ``Sdel[t, m, n] =
+s[m, n - (tau_min + t)]`` (zero-filled, tails truncated — exactly the C
+``pad_delay`` edge semantics), scatter the weights into a dense
+``W[d, t, m]``, and the beam is a single contraction::
+
+    beams = einsum('dtm,tmn->dn', W, Sdel)      # (D, T*M) @ (T*M, N) matmul
+
+All four algorithms — pad (1 tap), lerp (2 taps), convolve (n_taps),
+hybrid (n_taps) — are the *same kernel* with different W.  The only
+deviations from a pure shift are boundary terms at the start of the frame
+(the C loops run ``i in [0, N-pad-1)``, cutting a handful of products that
+involve ``s[m, 0..2]``); those are applied as an exact sparse correction
+scatter *before* squaring.  See the per-algorithm builders for the math.
+
+Performance: for the reference config the contraction is ~(1824 x 9600) @
+(9600 x 256) ≈ 9 GFLOP/frame — microseconds on one TPU chip, and the
+1824-direction axis the C executed serially becomes the matmul M-dimension.
+A fused Pallas kernel for the same contraction (+ power reduction) lives in
+``pallas_kernels.py``; this module is the exact/portable XLA path and the
+ground truth the kernel is tested against.
+
+Reference parity: ``pad_and_sum.c``, ``lerp_and_sum.c``,
+``convolve_and_sum.c``, ``hybrid_convolve_and_sum.c``, driven as in
+``PC/src/benchmark.pyx:74-196``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from . import geometry
+
+
+# ---------------------------------------------------------------------------
+# Steering tables (device-resident, built once per config+algorithm)
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SteeringTables:
+    """Dense delay-line weights + correction scatter for one algorithm."""
+
+    # (D, T, M) float32 — tap weight for direction d, shift tau_min+t, mic m.
+    W: jax.Array
+    # (C, D, M) float32 — boundary-correction weights (subtracted), and
+    # (C, D, M) int32 — output sample position of each correction (<0: none).
+    corr_w: Optional[jax.Array]
+    corr_pos: Optional[jax.Array]
+    # (M,) int32 — active mic indices into the full channel axis.
+    adaptive: jax.Array
+
+    # static metadata (hashable; part of jit specialization)
+    tau_min: int = dataclasses.field(metadata=dict(static=True))
+    corr_j: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    n_samples: int = dataclasses.field(metadata=dict(static=True))
+    res_x: int = dataclasses.field(metadata=dict(static=True))
+    res_y: int = dataclasses.field(metadata=dict(static=True))
+    algorithm: str = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_mics(self) -> int:
+        return self.W.shape[2]
+
+    @property
+    def n_taps_line(self) -> int:
+        return self.W.shape[1]
+
+    @property
+    def n_directions(self) -> int:
+        return self.W.shape[0]
+
+
+def _scatter_w(delays_shift: np.ndarray, weights: np.ndarray,
+               tau_min: int, T: int) -> np.ndarray:
+    """Scatter per-(d, m, k) weights at integer shifts into dense (D, T, M)."""
+    D, M, K = delays_shift.shape
+    W = np.zeros((D, T, M), dtype=np.float32)
+    d_idx = np.repeat(np.arange(D), M * K)
+    m_idx = np.tile(np.repeat(np.arange(M), K), D)
+    t_idx = (delays_shift - tau_min).reshape(-1)
+    np.add.at(W, (d_idx, t_idx, m_idx), weights.reshape(-1).astype(np.float32))
+    return W
+
+
+def _tables(cfg: Config, W: np.ndarray, algorithm: str, tau_min: int,
+            corr_w: Optional[np.ndarray] = None,
+            corr_pos: Optional[np.ndarray] = None,
+            corr_j: Tuple[int, ...] = ()) -> SteeringTables:
+    active, _ = geometry.active_microphones(cfg)
+    dt = jnp.dtype(cfg.matmul_dtype)
+    return SteeringTables(
+        W=jnp.asarray(W, dtype=dt),
+        corr_w=None if corr_w is None else jnp.asarray(corr_w, jnp.float32),
+        corr_pos=None if corr_pos is None else jnp.asarray(corr_pos, jnp.int32),
+        adaptive=jnp.asarray(active, jnp.int32),
+        tau_min=tau_min,
+        corr_j=corr_j,
+        n_samples=cfg.n_samples,
+        res_x=cfg.max_res_x,
+        res_y=cfg.max_res_y,
+        algorithm=algorithm,
+    )
+
+
+def make_pad_tables(cfg: Config, whole: Optional[np.ndarray] = None) -> SteeringTables:
+    """Pad-and-sum: one unit tap at shift ``whole`` (``pad_and_sum.c:41-47``:
+    ``out[pad+i] += s[i]`` — a pure zero-fill shift, no boundary terms)."""
+    if whole is None:
+        whole, _ = geometry.calculate_coefficients(cfg)
+    D = cfg.n_directions
+    wh = whole.reshape(D, -1)[..., None].astype(np.int64)          # (D, M, 1)
+    T = int(wh.max()) + 1
+    W = _scatter_w(wh, np.ones_like(wh, np.float32), 0, T)
+    return _tables(cfg, W, "pad", 0)
+
+
+def make_truncated_tables(cfg: Config) -> SteeringTables:
+    """Trunc-and-sum (``api.c:1015-1056``): identical inner math to pad but
+    loaded from the angle-grid delay model (``directions.pyx:126-157``)."""
+    delays = geometry.calculate_delays_angles(cfg)
+    active, _ = geometry.active_microphones(cfg)
+    whole = delays[:, :, active].astype(int)
+    t = make_pad_tables(cfg, whole)
+    return dataclasses.replace(t, algorithm="truncated")
+
+
+def make_lerp_tables(cfg: Config) -> SteeringTables:
+    """Lerp-and-sum (``lerp_and_sum.c:50-56``):
+
+    ``out[pad+i+1] += s[i] + h*(s[i+1]-s[i])`` with ``h = 1-frac`` expands to
+    weight ``(1-h)`` at shift ``pad+1`` (exact zero-fill shift) plus weight
+    ``h`` at shift ``pad`` *excluding its first sample* — so one correction
+    per (d, m): subtract ``h * s[m, 0]`` at output position ``pad``.
+    """
+    whole, h = geometry.lerp_coefficients(cfg)
+    D = cfg.n_directions
+    wh = whole.reshape(D, -1).astype(np.int64)
+    hh = h.reshape(D, -1).astype(np.float32)
+    shifts = np.stack([wh, wh + 1], axis=-1)                        # (D, M, 2)
+    weights = np.stack([hh, 1.0 - hh], axis=-1)
+    T = int(shifts.max()) + 1
+    W = _scatter_w(shifts, weights, 0, T)
+    corr_w = hh[None]                                               # (1, D, M)
+    corr_pos = wh[None].astype(np.int32)
+    return _tables(cfg, W, "lerp", 0, corr_w, corr_pos, corr_j=(0,))
+
+
+def make_convolve_tables(cfg: Config) -> SteeringTables:
+    """Convolve-and-sum (``convolve_and_sum.c:73-87``):
+
+    ``out[i] += h[k] * padded[i+k]`` with ``padded`` = signal zero-padded by
+    ``off = n_taps//2`` — i.e. weight ``h[k]`` at shift ``off - k`` for every
+    k; ``i`` spans the whole frame so there are no boundary corrections
+    (negative shifts advance the signal with head truncation — exactly what
+    the zero-padding does).
+    """
+    taps = geometry.convolve_coefficients(cfg)                      # (X,Y,M,K)
+    D = cfg.n_directions
+    K = cfg.n_taps
+    off = K // 2
+    hh = taps.reshape(D, -1, K).astype(np.float32)
+    k = np.arange(K)
+    shifts = np.broadcast_to(off - k, hh.shape).astype(np.int64)
+    tau_min = off - K + 1
+    T = K
+    W = _scatter_w(shifts, hh, tau_min, T)
+    return _tables(cfg, W, "convolve", tau_min)
+
+
+def make_hybrid_tables(cfg: Config) -> SteeringTables:
+    """Hybrid convolve-and-sum (``hybrid_convolve_and_sum.c:51-64``):
+
+    ``out[pad+i+1] += h[k] * padded[i+k]`` for ``i in [0, N-pad-1)`` — weight
+    ``h[k]`` at shift ``pad + 1 + off - k``.  The ``i >= 0`` bound cuts, for
+    taps ``k > off``, the products with ``s[m, j]`` for ``j < k-off``; those
+    are subtracted as corrections at position ``j + pad + 1 + off - k``
+    (positions < 0 never existed in the C output and are masked out).
+    """
+    whole, taps = geometry.hybrid_coefficients(cfg)
+    D = cfg.n_directions
+    K = cfg.n_taps
+    off = K // 2
+    wh = whole.reshape(D, -1).astype(np.int64)                      # (D, M)
+    hh = taps.reshape(D, -1, K).astype(np.float32)                  # (D, M, K)
+    k = np.arange(K)
+    shifts = wh[..., None] + 1 + off - k                            # (D, M, K)
+    tau_min = int(shifts.min())
+    T = int(shifts.max()) - tau_min + 1
+    W = _scatter_w(shifts, hh, tau_min, T)
+
+    corr_w, corr_pos, corr_j = [], [], []
+    for kk in range(off + 1, K):
+        for j in range(kk - off):
+            corr_w.append(hh[:, :, kk])
+            corr_pos.append(j + wh + 1 + off - kk)
+            corr_j.append(j)
+    corr_w = np.stack(corr_w, axis=0)                               # (C, D, M)
+    corr_pos = np.stack(corr_pos, axis=0).astype(np.int32)
+    return _tables(cfg, W, "hybrid", tau_min, corr_w, corr_pos,
+                   corr_j=tuple(corr_j))
+
+
+def make_tables(cfg: Config, algorithm: str) -> SteeringTables:
+    builder = {
+        "pad": make_pad_tables,
+        "lerp": make_lerp_tables,
+        "convolve": make_convolve_tables,
+        "hybrid": make_hybrid_tables,
+        "truncated": make_truncated_tables,
+    }[algorithm]
+    return builder(cfg)
+
+
+# ---------------------------------------------------------------------------
+# Runtime (jit)
+# ---------------------------------------------------------------------------
+
+def delay_lines(s: jax.Array, tau_min: int, T: int) -> jax.Array:
+    """(..., M, N) -> (..., T, M, N) zero-filled shifted copies.
+
+    ``out[..., t, m, n] = s[..., m, n - (tau_min+t)]`` with zeros outside —
+    the C ``pad_delay`` semantics (``pad_and_sum.c:41-47``) for positive
+    shifts and head-truncation for negative ones.
+    """
+    N = s.shape[-1]
+    batch_pad = [(0, 0)] * (s.ndim - 1)
+    rows = []
+    for t in range(T):
+        tau = tau_min + t
+        if tau >= N or tau <= -N:
+            rows.append(jnp.zeros_like(s))
+        elif tau >= 0:
+            rows.append(jnp.pad(s[..., : N - tau], batch_pad + [(tau, 0)]))
+        else:
+            rows.append(jnp.pad(s[..., -tau:], batch_pad + [(0, -tau)]))
+    return jnp.stack(rows, axis=-3)
+
+
+def _apply_corrections(beams: jax.Array, s: jax.Array,
+                       t: SteeringTables) -> jax.Array:
+    """Subtract the exact boundary terms.  beams: (B, D, N); s: (B, M, N)."""
+    if t.corr_w is None:
+        return beams
+    B, D, N = beams.shape
+    # vals[b, c, d, m] = corr_w[c,d,m] * s[b, m, corr_j[c]]
+    sj = jnp.stack([s[:, :, j] for j in t.corr_j], axis=1)          # (B, C, M)
+    vals = t.corr_w[None] * sj[:, :, None, :]                       # (B,C,D,M)
+    d_idx = jnp.broadcast_to(jnp.arange(D)[None, :, None], t.corr_pos.shape)
+    flat_idx = jnp.where(
+        (t.corr_pos >= 0) & (t.corr_pos < N),
+        d_idx * N + t.corr_pos,
+        D * N,  # out of bounds -> dropped
+    ).reshape(-1)
+    flat_vals = vals.reshape(B, -1)
+    out = beams.reshape(B, D * N)
+    out = out.at[:, flat_idx].add(-flat_vals, mode="drop")
+    return out.reshape(B, D, N)
+
+
+@partial(jax.jit, static_argnames=("mean_power",))
+def steered_beams(signals: jax.Array, t: SteeringTables,
+                  mean_power: bool = False) -> jax.Array:
+    """All-direction beams (B, D, N) — or mean power (B, X, Y).
+
+    ``signals``: (B, n_channels, N) or (n_channels, N) float32, full channel
+    axis (active-mic gather happens here, mirroring the ``adaptive_array``
+    argument of ``mimo_*``).
+    """
+    squeeze = signals.ndim == 2
+    if squeeze:
+        signals = signals[None]
+    s = signals[:, t.adaptive, :].astype(t.W.dtype)                 # (B, M, N)
+    sdel = delay_lines(s, t.tau_min, t.n_taps_line)                 # (B,T,M,N)
+    B, T, M, N = sdel.shape
+    D = t.n_directions
+    acc_dtype = jnp.promote_types(t.W.dtype, jnp.float32)
+    # precision=HIGHEST: keep full input precision in the MXU passes (the
+    # default silently truncates operands to bf16); explicit bf16 speed mode
+    # is selected by building tables with cfg.matmul_dtype="bfloat16".
+    beams = jax.lax.dot_general(
+        t.W.reshape(D, T * M), sdel.reshape(B, T * M, N),
+        ((( 1,), (1,)), ((), ())),
+        preferred_element_type=acc_dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                               # (D, B, N)
+    beams = beams.transpose(1, 0, 2)                                # (B, D, N)
+    beams = _apply_corrections(beams.astype(acc_dtype),
+                               signals[:, t.adaptive, :].astype(acc_dtype), t)
+    if mean_power:
+        beams = beams / jnp.asarray(M, acc_dtype)
+        power = jnp.mean(beams * beams, axis=-1)                    # (B, D)
+        power = power.reshape(B, t.res_x, t.res_y)
+        return power[0] if squeeze else power
+    return beams[0] if squeeze else beams
+
+
+def steered_power(signals: jax.Array, t: SteeringTables) -> jax.Array:
+    """The MIMO heatmap: ``image[x, y] = sum((beam/n)**2)/N`` exactly as
+    ``pad_and_sum.c:122-131``.  (B, X, Y) or (X, Y)."""
+    return steered_beams(signals, t, mean_power=True)
+
+
+@jax.jit
+def miso_beam(signals: jax.Array, t: SteeringTables,
+              direction: jax.Array) -> jax.Array:
+    """Single-direction beam (the MISO path, ``pad_and_sum.c:54-70`` /
+    ``lerp_and_sum.c:67-92``): raw mic sum, NOT divided by n (the caller
+    applies gain/normalization, as ``api.c:517-522`` does).
+
+    ``direction``: flat grid index d = x * res_y + y (traced — steering
+    changes do not retrigger compilation, unlike the reference's
+    recompile-on-config model).
+    """
+    squeeze = signals.ndim == 2
+    if squeeze:
+        signals = signals[None]
+    s = signals[:, t.adaptive, :]                                   # (B, M, N)
+    Wd = jax.lax.dynamic_index_in_dim(t.W, direction, 0, keepdims=False)
+    G = jnp.einsum("tm,bmn->btn", Wd.astype(jnp.float32),
+                   s.astype(jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST)             # (B, T, N)
+    N = t.n_samples
+    beam = jnp.zeros((signals.shape[0], N), jnp.float32)
+    for ti in range(t.n_taps_line):
+        tau = t.tau_min + ti
+        if tau >= 0:
+            beam = beam + jnp.pad(G[:, ti, : N - tau], ((0, 0), (tau, 0)))
+        else:
+            beam = beam + jnp.pad(G[:, ti, -tau:], ((0, 0), (0, -tau)))
+    if t.corr_w is not None:
+        cw = t.corr_w[:, direction, :]                              # (C, M)
+        cpos = t.corr_pos[:, direction, :]                          # (C, M)
+        sj = jnp.stack([s[:, :, j] for j in t.corr_j], axis=1)      # (B, C, M)
+        vals = (cw[None] * sj).reshape(signals.shape[0], -1)
+        idx = jnp.where((cpos >= 0) & (cpos < N), cpos, N).reshape(-1)
+        beam = beam.at[:, idx].add(-vals, mode="drop")
+    return beam[0] if squeeze else beam
+
+
+def steer_index(cfg: Config, azimuth_deg: float, elevation_deg: float) -> int:
+    """Map (azimuth, elevation) degrees in [-90, 90] to a flat grid index.
+
+    Follows ``main.pyx:498-515`` (``steer_cartesian_degree``) for the
+    degree->cell quantization; the cell->flat-offset mapping here is the
+    geometrically consistent ``x * res_y + y`` (the reference computes a
+    byte offset that disagrees with its own table layout — a known quirk we
+    do not reproduce; see SURVEY.md §3.3).
+    """
+    az = int((azimuth_deg + 90.0) / 180.0 * cfg.max_res_x)
+    el = int((elevation_deg + 90.0) / 180.0 * cfg.max_res_y)
+    az = min(max(az, 0), cfg.max_res_x - 1)
+    el = min(max(el, 0), cfg.max_res_y - 1)
+    return az * cfg.max_res_y + el
