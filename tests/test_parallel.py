@@ -1,0 +1,32 @@
+"""Sharded beamforming on the virtual 8-device CPU mesh: numerics must be
+identical to single-device, for pure-DP, pure-model, and mixed meshes."""
+
+import numpy as np
+import pytest
+
+from zybo_rt_sampler_image_detection_tpu.ops import beamform
+from zybo_rt_sampler_image_detection_tpu.parallel import mesh as pmesh
+
+from conftest import synth_frame
+
+import jax
+
+
+@pytest.mark.parametrize("shape", [(8, 1), (1, 8), (4, 2)])
+def test_sharded_matches_single(tiny_cfg, rng, shape):
+    n_data, n_model = shape
+    frames = np.stack([synth_frame(tiny_cfg, rng) for _ in range(8)])
+    tables = beamform.make_lerp_tables(tiny_cfg)
+    ref = np.asarray(beamform.steered_power(frames, tables))
+
+    m = pmesh.make_mesh(n_data, n_model)
+    st = pmesh.shard_tables(tables, m)
+    fn = pmesh.sharded_steered_power(m, st)
+    got = np.asarray(fn(frames))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-12)
+
+
+def test_mesh_uses_all_devices():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    m = pmesh.make_mesh()
+    assert m.devices.size == 8

@@ -1,0 +1,98 @@
+"""Device-mesh scaling for the acoustic pipeline.
+
+The reference's only parallelism is process-level (fork'd receiver, AVX2
+lanes, serial 1824-direction loop — SURVEY.md §2.4).  Here the two natural
+compute axes shard over a ``jax.sharding.Mesh``:
+
+* ``data``  — the frame batch (pure DP; frames are independent);
+* ``model`` — the steering-direction axis of the delay-line weight matrix
+  (the tensor-parallel analog: W's D rows split across chips, each chip
+  produces its slice of the heatmap, and XLA inserts the all-gather that
+  assembles the full image at the output sharding boundary).
+
+Both shardings ride ICI via collectives the SPMD partitioner inserts; DCN
+is never needed for a single-host array.  The same mesh carries the YOLO
+training step (DP over images + grad psum) in ``models/train.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import beamform
+from ..ops.beamform import SteeringTables
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """A (data, model) mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    dev = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(dev, axis_names=("data", "model"))
+
+
+def shard_tables(t: SteeringTables, mesh: Mesh) -> SteeringTables:
+    """Lay out steering tables for the mesh: the direction axis of W (and
+    of the correction tensors) splits over ``model`` (zero-padded to a
+    multiple); small per-mic arrays replicate."""
+    d_model = mesh.shape["model"]
+    D = t.W.shape[0]
+    if D % d_model:
+        pad = d_model - D % d_model
+        corr_w, corr_pos = t.corr_w, t.corr_pos
+        if corr_w is not None:
+            corr_w = jnp.concatenate(
+                [corr_w, jnp.zeros((corr_w.shape[0], pad, corr_w.shape[2]),
+                                   corr_w.dtype)], axis=1)
+            corr_pos = jnp.concatenate(
+                [corr_pos, -jnp.ones((corr_pos.shape[0], pad,
+                                      corr_pos.shape[2]), jnp.int32)], axis=1)
+        t = dataclasses.replace(
+            t,
+            W=jnp.concatenate(
+                [t.W, jnp.zeros((pad,) + t.W.shape[1:], t.W.dtype)], axis=0),
+            corr_w=corr_w, corr_pos=corr_pos)
+
+    def put(x, spec):
+        return None if x is None else jax.device_put(
+            x, NamedSharding(mesh, spec))
+
+    return dataclasses.replace(
+        t,
+        W=put(t.W, P("model", None, None)),
+        corr_w=put(t.corr_w, P(None, "model", None)),
+        corr_pos=put(t.corr_pos, P(None, "model", None)),
+        adaptive=put(t.adaptive, P()),
+    )
+
+
+def sharded_steered_power(mesh: Mesh, t: SteeringTables):
+    """pjit'd heatmap: frames shard over ``data``, the direction axis of
+    the contraction over ``model`` (driven by W's committed sharding).
+
+    Returns ``fn(frames (B, channels, N)) -> (B, X, Y)``; B must divide by
+    the data-axis size.  Corrections are position-local per direction, so
+    the scatter partitions with W and no cross-shard traffic occurs before
+    the output all-gather.
+    """
+    D = t.res_x * t.res_y      # true direction count (W may be padded)
+
+    def fn(frames):
+        beams = beamform.steered_beams(frames, t)          # (B, Dp, N)
+        beams = beams / jnp.asarray(t.n_mics, beams.dtype)
+        p = jnp.mean(beams * beams, axis=-1)[:, :D]
+        return p.reshape(frames.shape[0], t.res_x, t.res_y)
+
+    return jax.jit(
+        fn,
+        in_shardings=NamedSharding(mesh, P("data", None, None)),
+        out_shardings=NamedSharding(mesh, P("data", None, None)),
+    )
