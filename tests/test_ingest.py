@@ -1,0 +1,195 @@
+"""Ingest tests: protocol round trips, serpentine parity with the C loops,
+live loopback receive (Python + native C++ backends), gap detection,
+pcap round trip."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+import zybo_rt_sampler_image_detection_tpu as zrt
+from zybo_rt_sampler_image_detection_tpu.ingest import (
+    protocol, receiver, streamer,
+)
+
+
+def c_reference_reorder(cfg, stream, n_arrays):
+    """Literal transcription of receiver.c:122-145 for one packet."""
+    out = np.zeros(n_arrays * cfg.rows * cfg.columns, dtype=np.float64)
+    s = 0
+    for n in range(n_arrays):
+        for y in range(cfg.rows):
+            row = n * cfg.rows * cfg.columns + y * cfg.columns
+            for x in range(cfg.columns):
+                if y % 2 == 0:
+                    idx = row + x
+                else:
+                    idx = row + cfg.columns - x
+                idx = min(idx, cfg.n_microphones - 1)
+                out[s] = stream[idx] / cfg.norm_factor
+                s += 1
+    return out.astype(np.float32)
+
+
+def test_serpentine_matches_c_loops():
+    cfg = zrt.Config()
+    rng = np.random.default_rng(0)
+    stream = rng.integers(-2**30, 2**30, cfg.n_microphones).astype(np.int64)
+    for n_arrays in (1, 2, 3):
+        perm = protocol.serpentine_permutation(cfg, n_arrays,
+                                               exact_reference=True)
+        got = (stream[perm] / cfg.norm_factor).astype(np.float32)
+        ref = c_reference_reorder(cfg, stream, n_arrays)
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_packet_frame_roundtrip():
+    cfg = zrt.Config.tiny()
+    rng = np.random.default_rng(1)
+    frame = (rng.standard_normal((cfg.n_microphones, cfg.n_samples)) * 0.1
+             ).astype(np.float32)
+    pkts = list(protocol.frame_to_packets(cfg, frame, n_arrays=1,
+                                          exact_reference=False))
+    assert len(pkts) == cfg.n_samples
+    back = protocol.packets_to_frame(cfg, pkts, n_arrays=1,
+                                     exact_reference=False)
+    # int32 quantization at 2^-24 resolution
+    np.testing.assert_allclose(back, frame, atol=2.0 / cfg.norm_factor)
+
+
+def test_header_fields():
+    cfg = zrt.Config.tiny()
+    pkt = protocol.pack_packet(cfg, np.zeros(4, "<i4"), counter=77,
+                               n_arrays=2, frequency=48828 % 65536)
+    freq, n_arrays, ver, counter = protocol.unpack_header(pkt)
+    assert (n_arrays, ver, counter) == (2, cfg.fpga_protocol_version, 77)
+    assert len(pkt) == protocol.packet_size(cfg)
+
+
+def _loopback_cfg(port):
+    return zrt.Config.tiny().replace(udp_port=port)
+
+
+@pytest.mark.parametrize("backend", ["python", "native"])
+def test_live_loopback_receive(backend):
+    cfg = _loopback_cfg(21900 if backend == "python" else 21901)
+    rng = np.random.default_rng(2)
+    frames = [(rng.standard_normal((cfg.n_microphones, cfg.n_samples)) * 0.1
+               ).astype(np.float32) for _ in range(4)]
+
+    r = receiver.Receiver(cfg, replay_mode=True, backend=backend,
+                          exact_reference=False)
+    streamer.stream_in_background(cfg, frames, n_arrays=1, delay=0.2,
+                                  exact_reference=False)
+    n_arrays = r.connect(timeout=5.0)
+    assert n_arrays == 1
+    got, seq = r.read_frame(fresh=True, last_seq=0, timeout=5.0)
+    r.disconnect()
+    # the received frame must be one of the streamed ones (bit-close)
+    errs = [np.abs(got - f).max() for f in frames]
+    assert min(errs) < 2.0 / cfg.norm_factor
+
+
+def test_protocol_mismatch_rejected():
+    cfg = _loopback_cfg(21902)
+    bad = cfg.replace(fpga_protocol_version=1)
+
+    def send_bad():
+        time.sleep(0.2)
+        s = streamer.Streamer(bad)
+        s.send_frame(np.zeros((cfg.n_microphones, cfg.n_samples), np.float32))
+        s.close()
+
+    threading.Thread(target=send_bad, daemon=True).start()
+    r = receiver.Receiver(cfg, replay_mode=True, backend="python")
+    with pytest.raises(ConnectionError):
+        r.connect(timeout=5.0)
+
+
+def test_gap_detection():
+    cfg = _loopback_cfg(21903)
+    rng = np.random.default_rng(3)
+    frame = (rng.standard_normal((cfg.n_microphones, cfg.n_samples)) * 0.1
+             ).astype(np.float32)
+    pkts = list(protocol.frame_to_packets(cfg, frame, n_arrays=1))
+    # drop 3 packets in the middle of the second frame
+    seq = (pkts
+           + [protocol.pack_packet(cfg, protocol.unpack_stream(cfg, p),
+                                   c + cfg.n_samples, 1)
+              for c, p in enumerate(pkts) if c not in (5, 6, 7)])
+
+    r = receiver.Receiver(cfg, replay_mode=True, backend="python")
+
+    def send():
+        time.sleep(0.2)
+        s = streamer.Streamer(cfg, n_arrays=1)
+        s.send_header()
+        for p in seq:
+            s._sock.sendto(p, (s.ip, s.port))
+            time.sleep(0.0005)
+        s.close()
+
+    threading.Thread(target=send, daemon=True).start()
+    r.connect(timeout=5.0)
+    deadline = time.time() + 5.0
+    while r.stats.packets < len(seq) - 1 and time.time() < deadline:
+        time.sleep(0.05)
+    r.disconnect()
+    assert r.stats.gaps == 3
+
+
+def test_pcap_roundtrip(tmp_path):
+    cfg = zrt.Config.tiny()
+    rng = np.random.default_rng(4)
+    frame = (rng.standard_normal((cfg.n_microphones, cfg.n_samples)) * 0.1
+             ).astype(np.float32)
+    pkts = list(protocol.frame_to_packets(cfg, frame, n_arrays=1,
+                                          exact_reference=False))
+    path = str(tmp_path / "cap.pcap")
+    protocol.write_pcap(path, pkts)
+    back = [p for _, p in protocol.read_pcap(path)]
+    assert back == pkts
+
+
+def test_pcap_replay_through_receiver(tmp_path):
+    cfg = _loopback_cfg(21904)
+    rng = np.random.default_rng(5)
+    frame = (rng.standard_normal((cfg.n_microphones, cfg.n_samples)) * 0.1
+             ).astype(np.float32)
+    pkts = list(protocol.frame_to_packets(cfg, frame, n_arrays=1,
+                                          exact_reference=False))
+    path = str(tmp_path / "cap.pcap")
+    protocol.write_pcap(path, [protocol.header_packet(cfg, 1)] + pkts * 3)
+
+    r = receiver.Receiver(cfg, replay_mode=True, backend="python",
+                          exact_reference=False)
+
+    def replay():
+        time.sleep(0.2)
+        s = streamer.Streamer(cfg)
+        s.send_pcap(path)
+        s.close()
+
+    threading.Thread(target=replay, daemon=True).start()
+    r.connect(timeout=5.0)
+    got, _ = r.read_frame(fresh=True, last_seq=0, timeout=5.0)
+    r.disconnect()
+    np.testing.assert_allclose(got, frame, atol=2.0 / cfg.norm_factor)
+
+
+def test_dead_mic_masking():
+    cfg = zrt.Config.tiny().replace(disabled_mics=(0, 3), udp_port=21905)
+    rng = np.random.default_rng(6)
+    frames = [np.abs(rng.standard_normal(
+        (cfg.n_microphones, cfg.n_samples))).astype(np.float32) * 0.1 + 0.01
+        for _ in range(3)]
+    r = receiver.Receiver(cfg, replay_mode=True, backend="python",
+                          exact_reference=False)
+    streamer.stream_in_background(cfg, frames, n_arrays=1, delay=0.2,
+                                  exact_reference=False)
+    r.connect(timeout=5.0)
+    got, _ = r.read_frame(fresh=True, last_seq=0, timeout=5.0)
+    r.disconnect()
+    assert np.all(got[0] == 0.0) and np.all(got[3] == 0.0)
+    assert np.any(got[1] != 0.0)

@@ -18,6 +18,10 @@ Quick start::
 from . import config as _config
 from .config import Config, REFERENCE_DEAD_MICS
 from . import ops
+from . import ingest
+from . import parallel
+from . import utils
 
 __version__ = "0.1.0"
-__all__ = ["Config", "REFERENCE_DEAD_MICS", "ops"]
+__all__ = ["Config", "REFERENCE_DEAD_MICS", "ops", "ingest", "parallel",
+           "utils"]

@@ -1,0 +1,94 @@
+"""Build + ctypes binding for the native C++ ingest engine.
+
+Compiled on first use with g++ (no pybind11 in the image; plain C ABI via
+ctypes).  The shared object is cached next to the source and rebuilt when
+the source is newer.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "native", "ingest.cpp")
+_SO = os.path.join(_DIR, "native", "libzrtingest.so")
+_LOCK = threading.Lock()
+_CACHED = None
+
+
+def build(force: bool = False) -> str:
+    with _LOCK:
+        if (not force and os.path.exists(_SO)
+                and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
+            return _SO
+        cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+               _SRC, "-o", _SO]
+        subprocess.run(cmd, check=True, capture_output=True)
+        return _SO
+
+
+class NativeIngest:
+    """Thin stateful wrapper over the C ABI (one engine per process)."""
+
+    def __init__(self, lib: ctypes.CDLL):
+        self._lib = lib
+        lib.zrt_ingest_connect.restype = ctypes.c_int
+        lib.zrt_ingest_connect.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_int,
+            ctypes.c_int, ctypes.c_double]
+        lib.zrt_ingest_read.restype = ctypes.c_longlong
+        lib.zrt_ingest_read.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_longlong,
+            ctypes.c_int]
+        lib.zrt_ingest_stats.argtypes = [ctypes.POINTER(ctypes.c_longlong)] * 4
+        self._cfg = None
+
+    def connect(self, cfg, ip: str, timeout: float,
+                exact_reference: bool) -> int:
+        self._cfg = cfg
+        rc = self._lib.zrt_ingest_connect(
+            ip.encode(), cfg.udp_port, cfg.n_microphones, cfg.n_samples,
+            cfg.rows, cfg.columns, cfg.norm_factor,
+            cfg.fpga_protocol_version, int(exact_reference), float(timeout))
+        if rc == -4:
+            raise ConnectionError("wrong FPGA protocol version")
+        if rc < 0:
+            raise ConnectionError(f"native ingest connect failed ({rc})")
+        return rc
+
+    def read_frame(self, fresh: bool, last_seq: int,
+                   timeout: Optional[float]):
+        cfg = self._cfg
+        out = np.empty((cfg.n_microphones, cfg.n_samples), np.float32)
+        ms = int((timeout or 5.0) * 1000)
+        seq = self._lib.zrt_ingest_read(
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            int(fresh), last_seq, ms)
+        if seq < 0:
+            raise TimeoutError("no fresh frame within timeout")
+        return out, int(seq)
+
+    def stats(self):
+        vals = [ctypes.c_longlong() for _ in range(4)]
+        self._lib.zrt_ingest_stats(*[ctypes.byref(v) for v in vals])
+        from .receiver import IngestStats
+        return IngestStats(packets=vals[0].value, frames=vals[1].value,
+                           gaps=vals[2].value, bad_protocol=vals[3].value)
+
+    def disconnect(self) -> None:
+        self._lib.zrt_ingest_disconnect()
+
+
+def load() -> NativeIngest:
+    global _CACHED
+    if _CACHED is None:
+        so = build()
+        _CACHED = NativeIngest(ctypes.CDLL(so))
+    return _CACHED

@@ -1,0 +1,267 @@
+"""Host-side UDP ingest: receiver thread, latest-frame buffer, gap stats.
+
+Replaces the reference's fork()'d C child + SysV shared-memory ring +
+semaphores (``api.c:679-737,874-939``) with a single-process design: one
+receiver thread (native C++ engine when built, Python loop otherwise)
+assembles frames into a seqlock-style latest-frame buffer; consumers
+snapshot the newest complete frame without ever blocking the producer.
+No cross-process shm => none of the documented cleanup failure modes
+(``PC/README.md:142-150``).
+
+Improvements over the reference kept deliberately:
+* the packet-header ``counter`` field (present but unused in the C,
+  ``receiver.h:56``) drives gap detection and drop accounting;
+* dead-microphone zeroing is a config field applied on read
+  (replacing the hard-coded 122-index list in ``api.c:830-859``).
+
+Top-level :func:`connect` / :func:`disconnect` / :func:`receive` mirror the
+``lib.beamformer`` API (``main.pyx:95-159``).
+"""
+
+from __future__ import annotations
+
+import socket
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from ..config import Config
+from . import protocol
+
+
+@dataclass
+class IngestStats:
+    packets: int = 0
+    frames: int = 0
+    gaps: int = 0                 # missing packets inferred from counters
+    bad_protocol: int = 0
+    last_counter: int = -1
+
+
+class LatestFrameBuffer:
+    """Single-producer / multi-consumer latest-value buffer (seqlock).
+
+    The producer publishes complete (n_mics, n_samples) frames; readers get
+    a consistent snapshot of the newest one.  ``wait_fresh`` blocks until a
+    frame newer than the caller's last seen sequence arrives — the
+    semaphore-guarded ``get_data`` semantics (``api.c:830-859``) without
+    shared mutable state across processes.
+    """
+
+    def __init__(self, n_mics: int, n_samples: int):
+        self._buf = np.zeros((2, n_mics, n_samples), dtype=np.float32)
+        self._seq = 0
+        self._cond = threading.Condition()
+
+    def publish(self, frame: np.ndarray) -> None:
+        with self._cond:
+            self._buf[(self._seq + 1) % 2] = frame
+            self._seq += 1
+            self._cond.notify_all()
+
+    def snapshot(self, out: Optional[np.ndarray] = None):
+        with self._cond:
+            seq = self._seq
+            src = self._buf[seq % 2]
+            if out is None:
+                return src.copy(), seq
+            out[...] = src
+            return out, seq
+
+    def wait_fresh(self, last_seq: int, timeout: Optional[float] = None):
+        with self._cond:
+            ok = self._cond.wait_for(lambda: self._seq > last_seq, timeout)
+            if not ok:
+                return None, last_seq
+            src = self._buf[self._seq % 2]
+            return src.copy(), self._seq
+
+
+class Receiver:
+    """Protocol-v2 UDP receiver.
+
+    ``backend='auto'`` prefers the native C++ engine (``ingest/native``) and
+    falls back to the Python loop; ``'python'``/``'native'`` force one.
+    """
+
+    def __init__(self, cfg: Config, replay_mode: bool = False,
+                 backend: str = "auto", exact_reference: bool = True):
+        self.cfg = cfg
+        self.replay_mode = replay_mode
+        self.exact_reference = exact_reference
+        self.stats = IngestStats()
+        self.buffer = LatestFrameBuffer(cfg.n_microphones, cfg.n_samples)
+        self.n_arrays: Optional[int] = None
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._sock: Optional[socket.socket] = None
+        self._native = None
+        if backend in ("auto", "native"):
+            try:
+                from . import native_build
+                self._native = native_build.load()
+            except Exception:
+                if backend == "native":
+                    raise
+                self._native = None
+        self._dead_rows = np.asarray(cfg.disabled_mics, dtype=np.int64)
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def connect(self, timeout: float = 30.0) -> int:
+        """Bind, read the header packet, validate the protocol version, and
+        start the receive loop.  Returns n_arrays (like ``receive_header_data``,
+        ``receiver.c:224-239``); raises on protocol mismatch, mirroring the
+        reference's disconnect-on-mismatch (``main.pyx:114-116``)."""
+        if self._native is not None:
+            return self._connect_native(timeout)
+        cfg = self.cfg
+        ip = cfg.udp_replay_ip if self.replay_mode else cfg.udp_ip
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 1 << 22)
+        self._sock.bind((ip, cfg.udp_port))
+        self._sock.settimeout(timeout)
+        data = self._sock.recv(protocol.packet_size(cfg))
+        freq, n_arrays, ver, counter = protocol.unpack_header(data)
+        if ver != cfg.fpga_protocol_version:
+            self._sock.close()
+            raise ConnectionError(
+                f"wrong FPGA protocol version {ver} != "
+                f"{cfg.fpga_protocol_version}")
+        self.n_arrays = int(n_arrays)
+        self.stats.last_counter = counter
+        self._sock.settimeout(0.5)
+        self._stop.clear()
+        self._thread = threading.Thread(target=self._py_loop, daemon=True)
+        self._thread.start()
+        return self.n_arrays
+
+    def disconnect(self) -> None:
+        self._stop.set()
+        if self._native is not None:
+            self._native.disconnect()
+            return
+        if self._thread is not None:
+            self._thread.join(timeout=2.0)
+            self._thread = None
+        if self._sock is not None:
+            self._sock.close()
+            self._sock = None
+
+    # -- consumption ---------------------------------------------------------
+
+    def read_frame(self, out: Optional[np.ndarray] = None,
+                   fresh: bool = False, last_seq: int = -1,
+                   timeout: Optional[float] = 5.0):
+        """Latest complete frame (n_mics, n_samples) float32 with the
+        dead-mic mask applied (``get_data`` semantics, ``api.c:830-859``).
+        Returns (frame, seq)."""
+        if self._native is not None:
+            frame, seq = self._native.read_frame(fresh, last_seq, timeout)
+        elif fresh:
+            frame, seq = self.buffer.wait_fresh(last_seq, timeout)
+            if frame is None:
+                raise TimeoutError("no fresh frame within timeout")
+        else:
+            frame, seq = self.buffer.snapshot(out)
+        if self._dead_rows.size:
+            frame[self._dead_rows] = 0.0
+        return frame, seq
+
+    # -- python receive loop --------------------------------------------------
+
+    def _py_loop(self) -> None:
+        cfg = self.cfg
+        n_arrays = self.n_arrays
+        perm = protocol.serpentine_permutation(cfg, n_arrays,
+                                               self.exact_reference)
+        n_ch = perm.shape[0]
+        inv_norm = 1.0 / cfg.norm_factor
+        frame = np.zeros((cfg.n_microphones, cfg.n_samples), np.float32)
+        step = 0
+        psize = protocol.packet_size(cfg)
+        while not self._stop.is_set():
+            try:
+                data = self._sock.recv(psize)
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            if len(data) < psize:
+                continue
+            freq, na, ver, counter = protocol.unpack_header(data)
+            if ver != cfg.fpga_protocol_version:
+                self.stats.bad_protocol += 1
+                continue
+            if self.stats.last_counter >= 0:
+                gap = (counter - self.stats.last_counter - 1) & 0xFFFFFFFF
+                if 0 < gap < 1 << 16:
+                    self.stats.gaps += gap
+            self.stats.last_counter = counter
+            self.stats.packets += 1
+            stream = protocol.unpack_stream(cfg, data)
+            frame[:n_ch, step] = stream[perm] * inv_norm
+            step += 1
+            if step == cfg.n_samples:
+                self.buffer.publish(frame)
+                self.stats.frames += 1
+                step = 0
+
+    # -- native engine -------------------------------------------------------
+
+    def _connect_native(self, timeout: float) -> int:
+        cfg = self.cfg
+        ip = cfg.udp_replay_ip if self.replay_mode else cfg.udp_ip
+        self.n_arrays = self._native.connect(
+            cfg, ip, timeout, self.exact_reference)
+        return self.n_arrays
+
+    @property
+    def native_stats(self):
+        if self._native is not None:
+            return self._native.stats()
+        return self.stats
+
+
+# ---------------------------------------------------------------------------
+# module-level API with main.pyx ergonomics
+# ---------------------------------------------------------------------------
+
+_GLOBAL: Optional[Receiver] = None
+
+
+def connect(replay_mode: bool = False, cfg: Optional[Config] = None,
+            verbose: bool = True, backend: str = "auto") -> Receiver:
+    """``lib.beamformer.connect`` (``main.pyx:95-119``)."""
+    global _GLOBAL
+    assert isinstance(replay_mode, bool), \
+        "Replay mode must be either True or False"
+    cfg = cfg or Config()
+    r = Receiver(cfg, replay_mode=replay_mode, backend=backend)
+    r.connect()
+    _GLOBAL = r
+    if verbose:
+        print("Receiver thread started. Continue your program!")
+    return r
+
+
+def disconnect() -> None:
+    """``main.pyx:122-130``."""
+    global _GLOBAL
+    if _GLOBAL is not None:
+        _GLOBAL.disconnect()
+        _GLOBAL = None
+
+
+def receive(signals: np.ndarray) -> None:
+    """Fill ``signals`` (n_mics, n_samples) float32 with the latest frame
+    (``main.pyx:133-159``)."""
+    assert _GLOBAL is not None, "connect() first"
+    cfg = _GLOBAL.cfg
+    assert signals.shape == (cfg.n_microphones, cfg.n_samples), \
+        "Arrays do not match shape"
+    assert signals.dtype == np.float32, "Arrays dtype do not match"
+    _GLOBAL.read_frame(out=signals)

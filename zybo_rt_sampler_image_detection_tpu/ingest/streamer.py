@@ -1,0 +1,112 @@
+"""Packet generator / replayer — the software FPGA emulator.
+
+Capability parity with the reference's test fixtures: the fake packet
+streamer ``udp/streamer.c:20-112`` (upgraded from its v1/TCP protocol to
+the real v2/UDP one), replay mode via ``udpreplay`` on loopback
+(``main.pyx:664-666,709-710``), and the pcap capture flow
+(``main.pyx:602-612``).
+
+Sources: synthetic signals, ``.npy`` recordings (``record.py`` format:
+(n_mics, T) float32), or pcap files.  Packets are paced to the real
+48 828 Hz sample rate by default (one datagram per sample) or sent as fast
+as possible with ``rate=None``.
+"""
+
+from __future__ import annotations
+
+import socket
+import threading
+import time
+from typing import Iterable, Optional
+
+import numpy as np
+
+from ..config import Config
+from . import protocol
+
+
+class Streamer:
+    def __init__(self, cfg: Config, n_arrays: Optional[int] = None,
+                 ip: Optional[str] = None, port: Optional[int] = None,
+                 exact_reference: bool = True):
+        self.cfg = cfg
+        self.n_arrays = n_arrays if n_arrays is not None else cfg.active_arrays
+        self.ip = ip or cfg.udp_replay_ip
+        self.port = port or cfg.udp_port
+        self.exact_reference = exact_reference
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._counter = 0
+
+    def send_header(self) -> None:
+        """Bring-up packet consumed by ``connect()`` for n_arrays/protocol
+        discovery; keeps subsequent frame boundaries aligned."""
+        self._sock.sendto(
+            protocol.header_packet(self.cfg, self.n_arrays, self._counter),
+            (self.ip, self.port))
+
+    def send_frame(self, frame: np.ndarray,
+                   rate: Optional[float] = None) -> None:
+        """Send one (n_mics, n_samples) frame as n_samples datagrams."""
+        interval = (1.0 / rate) if rate else 0.0
+        nxt = time.perf_counter()
+        for pkt in protocol.frame_to_packets(
+                self.cfg, frame, self.n_arrays, self._counter,
+                self.exact_reference):
+            self._sock.sendto(pkt, (self.ip, self.port))
+            self._counter += 1
+            if interval:
+                nxt += interval
+                delay = nxt - time.perf_counter()
+                if delay > 0:
+                    time.sleep(delay)
+
+    def send_signal(self, signal: np.ndarray,
+                    rate: Optional[float] = None) -> int:
+        """Stream a long (n_mics, T) capture frame by frame; returns the
+        number of complete frames sent."""
+        cfg = self.cfg
+        n_frames = signal.shape[1] // cfg.n_samples
+        for i in range(n_frames):
+            self.send_frame(
+                signal[:, i * cfg.n_samples:(i + 1) * cfg.n_samples], rate)
+        return n_frames
+
+    def send_npy(self, path: str, rate: Optional[float] = None) -> int:
+        return self.send_signal(np.load(path).astype(np.float32), rate)
+
+    def send_pcap(self, path: str, realtime: bool = False) -> int:
+        """Replay raw datagrams from a pcap (the ``udpreplay`` flow)."""
+        n = 0
+        prev_ts = None
+        for ts, payload in protocol.read_pcap(path):
+            if realtime and prev_ts is not None and ts > prev_ts:
+                time.sleep(min(ts - prev_ts, 0.1))
+            prev_ts = ts
+            self._sock.sendto(payload, (self.ip, self.port))
+            n += 1
+        return n
+
+    def close(self) -> None:
+        self._sock.close()
+
+
+def stream_in_background(cfg: Config, frames: Iterable[np.ndarray],
+                         rate: Optional[float] = None,
+                         n_arrays: Optional[int] = None,
+                         delay: float = 0.05,
+                         exact_reference: bool = True) -> threading.Thread:
+    """Fire-and-forget emulator thread for tests/demos: streams the given
+    frames to loopback after a short delay (so a receiver can bind first)."""
+    def run():
+        time.sleep(delay)
+        s = Streamer(cfg, n_arrays=n_arrays, exact_reference=exact_reference)
+        try:
+            s.send_header()
+            for f in frames:
+                s.send_frame(f, rate)
+        finally:
+            s.close()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    return t
