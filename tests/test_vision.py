@@ -1,0 +1,144 @@
+"""Vision stack tests: YOLO forward/decode shapes, NMS semantics, detector
+API parity, training-loss descent, SORT lifecycle, smoothed tracking with
+correlation revival."""
+
+import queue
+
+import numpy as np
+import pytest
+
+from zybo_rt_sampler_image_detection_tpu.models import (
+    detect, nms, sort, tracking, train, yolo,
+)
+
+
+def small_cfg():
+    return yolo.YoloConfig(input_size=64, width_mult=0.25, num_classes=2)
+
+
+def test_yolo_forward_and_decode_shapes():
+    import jax
+
+    cfg = small_cfg()
+    model, variables = yolo.init_params(cfg, jax.random.PRNGKey(0))
+    x = np.zeros((2, 64, 64, 3), np.float32)
+    heads = model.apply(variables, x, train=False)
+    assert heads[0].shape == (2, 2, 2, 3 * 7)     # /32
+    assert heads[1].shape == (2, 4, 4, 3 * 7)     # /16
+    boxes, obj, cls = yolo.decode_all(cfg, heads)
+    n = 2 * 2 * 3 + 4 * 4 * 3
+    assert boxes.shape == (2, n, 4)
+    assert obj.shape == (2, n)
+    assert cls.shape == (2, n, 2)
+    assert np.all(np.asarray(obj) >= 0) and np.all(np.asarray(obj) <= 1)
+
+
+def test_nms_suppresses_overlaps():
+    boxes = np.array([
+        [0, 0, 10, 10],
+        [1, 1, 11, 11],       # overlaps first
+        [50, 50, 60, 60],     # separate
+        [0, 0, 10, 10],       # duplicate of first
+    ], np.float32)
+    scores = np.array([0.9, 0.8, 0.7, 0.6], np.float32)
+    out, mask = nms.nms(boxes, scores, iou_threshold=0.5, max_det=4)
+    out, mask = np.asarray(out), np.asarray(mask)
+    assert mask.sum() == 2
+    kept = out[mask]
+    assert kept[0][4] == pytest.approx(0.9)
+    assert kept[1][4] == pytest.approx(0.7)
+
+
+def test_detector_api():
+    det = detect.YoloDetector(cfg=small_cfg(), max_det=8)
+    frame = (np.random.default_rng(0).random((120, 160, 3)) * 255
+             ).astype(np.uint8)
+    out = det.get_detections(frame, conf_threshold=0.0)
+    assert isinstance(out, list)
+    for d in out:
+        assert len(d) == 5
+        assert 0 <= d[4] <= 1
+
+
+def test_detector_weights_roundtrip(tmp_path):
+    det = detect.YoloDetector(cfg=small_cfg())
+    p = str(tmp_path / "w.pkl")
+    detect.save_weights(p, det.variables)
+    det2 = detect.YoloDetector(model_path=p, cfg=small_cfg())
+    frame = (np.random.default_rng(1).random((64, 64, 3)) * 255
+             ).astype(np.uint8)
+    np.testing.assert_allclose(det.get_detections(frame),
+                               det2.get_detections(frame))
+
+
+def test_training_reduces_loss():
+    cfg = small_cfg()
+    tr = train.Trainer(cfg, learning_rate=3e-3)
+    rng = np.random.default_rng(0)
+    images = rng.random((4, 64, 64, 3)).astype(np.float32)
+    boxes = [np.array([[8.0, 8.0, 40.0, 40.0, 0.0]]) for _ in range(4)]
+    losses = [tr.train_step(images, boxes) for _ in range(12)]
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+
+
+def test_sort_lifecycle():
+    KB = sort.KalmanBoxTracker
+    KB.count = 0
+    t = sort.Sort(max_age=1, min_hits=2)
+    box = np.array([[10, 10, 30, 30, 0.9]])
+    # first frames: track must appear once frame_count <= min_hits grace
+    r1 = t.update(box)
+    assert len(r1) == 1
+    # track follows slow motion and keeps its id
+    tid = r1[0, 4]
+    for i in range(5):
+        shifted = box.copy()
+        shifted[0, [0, 2]] += 2 * (i + 1)
+        r = t.update(shifted)
+    assert len(r) == 1 and r[0, 4] == tid
+    # disappearance kills the track after max_age misses
+    t.update(np.empty((0, 5)))
+    t.update(np.empty((0, 5)))
+    assert len(t.trackers) == 0
+
+
+def test_sort_separate_objects_get_distinct_ids():
+    sort.KalmanBoxTracker.count = 0
+    t = sort.Sort(min_hits=1)
+    dets = np.array([[0, 0, 10, 10, 0.9], [100, 100, 130, 130, 0.8]])
+    r = t.update(dets)
+    ids = set(r[:, 4].astype(int))
+    assert len(ids) == 2
+
+
+def test_correlation_revival():
+    """A low-confidence candidate overlapping a correlation-tracked previous
+    detection is boosted to confh (yolo_smooth_tracking.py:248-259)."""
+    rng = np.random.default_rng(2)
+    prev = (rng.random((80, 80, 3)) * 255).astype(np.uint8)
+    # distinctive patch
+    prev[20:40, 20:40] = 255
+    frame = np.roll(prev, 2, axis=1)
+    candidates = [[21.0, 20.0, 41.0, 40.0, 0.3]]
+    tracking.revive_candidates(candidates, [[20, 20, 40, 40, 0.9]],
+                               prev, frame, confh=0.5)
+    assert candidates[0][4] == 0.5
+
+
+def test_tracking_queue_loop():
+    class StubDetector:
+        def get_detections(self, frame, conf_threshold=0.0):
+            return [[10.0, 10.0, 30.0, 30.0, 0.9]]
+
+    q_in, q_out = queue.Queue(), queue.Queue(maxsize=2)
+    for i in range(4):
+        q_in.put((i, np.zeros((64, 64, 3), np.uint8)))
+    tracking.process_video_track_boxes_only(
+        q_in, q_out, detector=StubDetector(), max_frames=4)
+    results = [q_out.get() for _ in range(q_out.qsize())]
+    assert results
+    frame_no, overlay, rect = results[-1]
+    assert overlay.shape == (64, 64, 3)
+    assert rect[2] == pytest.approx(0.9)
+    assert rect[0] == [10, 10] and rect[1] == [30, 30]

@@ -21,6 +21,7 @@ from . import ops
 from . import ingest
 from . import parallel
 from . import utils
+from . import models
 
 __version__ = "0.1.0"
 __all__ = ["Config", "REFERENCE_DEAD_MICS", "ops", "ingest", "parallel",

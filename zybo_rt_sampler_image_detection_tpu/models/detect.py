@@ -1,0 +1,95 @@
+"""Detector wrapper with the reference's ``yolo_model`` API.
+
+``get_detections(frame, conf_threshold)`` returns ``[[x1,y1,x2,y2,conf],
+...]`` in source-image pixels, exactly like
+``yolo_smooth_tracking.py:13-23`` — but preprocess, backbone, decode and
+NMS are one jitted device program; the host sees a fixed-size table.
+"""
+
+from __future__ import annotations
+
+import pickle
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import nms as nms_mod
+from .yolo import TinyYolo, YoloConfig, decode_all, init_params
+
+
+class YoloDetector:
+    def __init__(self, model_path: Optional[str] = None,
+                 cfg: Optional[YoloConfig] = None, max_det: int = 32,
+                 iou_threshold: float = 0.45, seed: int = 0):
+        self.cfg = cfg or YoloConfig()
+        self.max_det = max_det
+        self.iou_threshold = iou_threshold
+        self.model = TinyYolo(self.cfg)
+        if model_path:
+            self.variables = load_weights(model_path)
+        else:
+            _, self.variables = init_params(self.cfg,
+                                            jax.random.PRNGKey(seed))
+        self._infer = jax.jit(self._forward)
+
+    # -- device program -------------------------------------------------------
+
+    def _forward(self, variables, img_u8):
+        """(H, W, 3) uint8 (any size, host-resized) -> (max_det, 5), mask."""
+        c = self.cfg
+        x = img_u8.astype(jnp.float32) / 255.0
+        heads = self.model.apply(variables, x[None], train=False)
+        boxes, obj, cls = decode_all(c, heads)
+        score = obj * jnp.max(cls, axis=-1)
+        out, mask = nms_mod.nms(boxes[0], score[0],
+                                iou_threshold=self.iou_threshold,
+                                max_det=self.max_det)
+        return out, mask
+
+    # -- host API (reference parity) ------------------------------------------
+
+    def get_detections(self, frame: np.ndarray,
+                       conf_threshold: float = 0.0) -> List[list]:
+        """``yolo_model.get_detections`` (yolo_smooth_tracking.py:13-23)."""
+        c = self.cfg
+        h, w = frame.shape[:2]
+        img = _resize_u8(frame, (c.input_size, c.input_size))
+        out, mask = self._infer(self.variables, img)
+        out = np.asarray(out)
+        mask = np.asarray(mask)
+        sx, sy = w / c.input_size, h / c.input_size
+        dets = []
+        for row, ok in zip(out, mask):
+            if not ok or row[4] < conf_threshold:
+                continue
+            x1, y1, x2, y2, conf = row
+            dets.append([float(x1 * sx), float(y1 * sy),
+                         float(x2 * sx), float(y2 * sy), float(conf)])
+        return dets
+
+
+def _resize_u8(frame: np.ndarray, size) -> np.ndarray:
+    """Nearest/linear resize to (H, W); cv2 when present, NumPy otherwise."""
+    if frame.ndim == 2:
+        frame = np.repeat(frame[..., None], 3, axis=-1)
+    try:
+        import cv2
+        return cv2.resize(frame, (size[1], size[0]),
+                          interpolation=cv2.INTER_LINEAR)
+    except ImportError:
+        ys = np.linspace(0, frame.shape[0] - 1, size[0]).round().astype(int)
+        xs = np.linspace(0, frame.shape[1] - 1, size[1]).round().astype(int)
+        return frame[ys][:, xs]
+
+
+def save_weights(path: str, variables) -> None:
+    with open(path, "wb") as f:
+        pickle.dump(jax.tree.map(np.asarray, variables), f)
+
+
+def load_weights(path: str):
+    with open(path, "rb") as f:
+        return pickle.load(f)
