@@ -1,0 +1,150 @@
+"""End-to-end pipeline tests: emulator -> receiver -> heatmap/miso/tracker
+stages, steering, web server routes — all over real sockets, headless."""
+
+import queue
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+import zybo_rt_sampler_image_detection_tpu as zrt
+from zybo_rt_sampler_image_detection_tpu.apps.pipeline import (
+    CameraProducer, Pipeline, put_drop_oldest,
+)
+from zybo_rt_sampler_image_detection_tpu.ingest import streamer
+from zybo_rt_sampler_image_detection_tpu.ops import geometry
+from zybo_rt_sampler_image_detection_tpu.utils.viz import (
+    ArrayCapture, ArrayDisplay, Viewer,
+)
+
+
+def _source_frames(cfg, tx, ty, n=30, seed=3):
+    delays = geometry.calculate_delays(cfg)
+    active, _ = geometry.active_microphones(cfg)
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal(cfg.n_samples * 3).astype(np.float32) * 0.05
+    lag = (delays[tx, ty].max() - delays[tx, ty]).round().astype(int)
+    fr = np.zeros((cfg.n_microphones, cfg.n_samples), np.float32)
+    for i, m in enumerate(active):
+        s = cfg.n_samples - lag[i]
+        fr[m] = base[s:s + cfg.n_samples]
+    return [fr] * n
+
+
+def test_put_drop_oldest():
+    q = queue.Queue(maxsize=2)
+    for i in range(5):
+        put_drop_oldest(q, i)
+    assert q.get() == 3 and q.get() == 4
+
+
+def test_pipeline_heatmap_and_steering(tmp_path):
+    cfg = zrt.Config.tiny().replace(udp_port=21920)
+    tx, ty = 6, 2
+    frames = _source_frames(cfg, tx, ty)
+    p = Pipeline(cfg, algorithm="lerp", replay_mode=True, backend="python",
+                 audio_sink="wav", audio_path=str(tmp_path / "beam.wav"))
+    p.receiver.exact_reference = False
+    streamer.stream_in_background(cfg, frames, n_arrays=1, delay=0.3,
+                                  exact_reference=False,
+                                  rate=2 * cfg.sample_rate)
+    p.connect(timeout=5.0)
+    p.start_heatmap()
+    p.start_miso()
+    d = p.steer_cartesian_degree(10.0, -5.0)
+    assert 0 <= d < cfg.n_directions
+
+    power, seq = p.q_power.get(timeout=10.0)
+    x, y = np.unravel_index(power.argmax(), power.shape)
+    time.sleep(0.5)                    # let miso write some audio
+    rep = p.report()
+    p.stop()
+    assert abs(x - tx) <= 1 and abs(y - ty) <= 1
+    assert rep["heatmap"]["count"] >= 1
+    assert rep["miso"]["count"] >= 1
+    assert rep["ingest"]["frames"] >= 2
+    import wave
+    with wave.open(str(tmp_path / "beam.wav")) as w:
+        assert w.getnframes() >= cfg.n_samples
+
+
+def test_viewer_loop_headless():
+    """Viewer consumes (power, camera, yolo) queues and renders fused
+    frames through the decider, fully headless."""
+    cfg = zrt.Config.tiny()
+    q_power, q_viewer, q_inf = (queue.Queue() for _ in range(3))
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        power = rng.random((cfg.max_res_x, cfg.max_res_y)) * 1e-4
+        q_power.put((power, i))
+        q_viewer.put((i, (rng.random((60, 80, 3)) * 255).astype(np.uint8)))
+        q_inf.put((i, np.zeros((60, 80, 3), np.uint8), [[0, 0], [0, 0], 0]))
+    disp = ArrayDisplay()
+    clicks = []
+    v = Viewer(cb=lambda h, vv: clicks.append((h, vv)), window=(160, 90),
+               display=disp)
+
+    class Running:
+        value = 1
+
+    v.loop(q_power, Running(), q_viewer=q_viewer, q_inference=q_inf,
+           max_frames=3)
+    assert len(disp.frames) == 3
+    assert disp.frames[0].shape[2] == 3
+    v._mouse(80, 45)
+    assert len(clicks) == 1
+
+
+def test_camera_producer_with_array_capture():
+    from zybo_rt_sampler_image_detection_tpu.utils.metrics import (
+        PipelineMetrics,
+    )
+    frames = [(np.full((8, 8, 3), i, np.uint8)) for i in range(5)]
+    qv, qy = queue.Queue(maxsize=2), queue.Queue(maxsize=2)
+    cp = CameraProducer(ArrayCapture(frames), qv, qy, PipelineMetrics(),
+                        fps_limit=200.0)
+    cp.start()
+    time.sleep(0.2)
+    cp.stop()
+    cp.join(timeout=2.0)
+    assert not qv.empty() and not qy.empty()
+
+
+def test_web_server_routes():
+    cfg = zrt.Config.tiny().replace(udp_port=21921)
+    frames = _source_frames(cfg, 4, 3, n=200)
+    streamer.stream_in_background(cfg, frames, n_arrays=1, delay=0.3,
+                                  exact_reference=False,
+                                  rate=2 * cfg.sample_rate)
+    from zybo_rt_sampler_image_detection_tpu.apps.web import make_server
+    server = make_server(cfg, replay=True, port=0, headless_camera=True)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        html = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=5).read().decode()
+        assert "enableBackend1" in html and "/monitor" in html
+
+        html = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/enableBackend1?threshold=0.1"
+            "&amount=0.4", timeout=15).read().decode()
+        assert server.camera.threshold == pytest.approx(0.1)
+        assert server.camera.amount == pytest.approx(0.4)
+        assert server.camera.pipeline is not None
+
+        # MJPEG stream delivers at least one JPEG frame
+        req = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/monitor", timeout=15)
+        data = req.read(40000)
+        assert b"\xff\xd8" in data           # JPEG SOI marker
+        req.close()
+
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/disconnect", timeout=10).read()
+        assert server.camera.pipeline is None
+    finally:
+        server.shutdown()
+        server.camera.stop()

@@ -1,0 +1,210 @@
+"""CLI entry point — parity with ``PC/demo.py`` (mimo / miso / record /
+record_sensorfusion) plus the emulator and web server.
+
+Examples::
+
+    python -m zybo_rt_sampler_image_detection_tpu.apps.demo emulate --synthetic &
+    python -m zybo_rt_sampler_image_detection_tpu.apps.demo mimo --replay --headless --frames 20
+    python -m zybo_rt_sampler_image_detection_tpu.apps.demo miso --replay --audio wav --seconds 2
+    python -m zybo_rt_sampler_image_detection_tpu.apps.demo record --replay --seconds 1 --out cap.npy
+    python -m zybo_rt_sampler_image_detection_tpu.apps.demo web --replay --port 8080
+"""
+
+from __future__ import annotations
+
+import argparse
+import queue
+import sys
+import time
+
+import numpy as np
+
+from ..config import Config
+from .pipeline import Pipeline
+
+
+def _add_common(p):
+    p.add_argument("--replay", action="store_true",
+                   help="bind loopback (replay/emulator mode)")
+    p.add_argument("--algorithm", default="lerp",
+                   choices=["pad", "lerp", "convolve", "hybrid",
+                            "truncated", "fft"])
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "python", "native"])
+    p.add_argument("--headless", action="store_true",
+                   help="no cv2 windows; print stats instead")
+    p.add_argument("--frames", type=int, default=0,
+                   help="stop after N heatmaps (0 = run until ^C)")
+    p.add_argument("--port", type=int, default=None, help="UDP port override")
+
+
+def _make_pipeline(args, audio_sink="null", audio_path=None) -> Pipeline:
+    cfg = Config()
+    if args.port:
+        cfg = cfg.replace(udp_port=args.port)
+    power_fn = None
+    algorithm = args.algorithm
+    if algorithm == "fft":
+        from ..ops import freq
+        tables = freq.make_freq_tables(cfg)
+        power_fn = lambda f: freq.fft_steered_power(f, tables)
+        algorithm = "lerp"          # miso still needs time-domain tables
+    return Pipeline(cfg, algorithm=algorithm, replay_mode=args.replay,
+                    backend=args.backend, audio_sink=audio_sink,
+                    audio_path=audio_path, power_fn=power_fn)
+
+
+def cmd_mimo(args):
+    """Heatmap demo (``main.pyx:669-736``): heatmaps + optional camera/YOLO
+    overlay in a viewer window, or stats when headless."""
+    p = _make_pipeline(args)
+    p.connect()
+    p.start_heatmap()
+    try:
+        if args.headless:
+            n = 0
+            while not args.frames or n < args.frames:
+                power, seq = p.q_power.get(timeout=10.0)
+                n += 1
+                if n % 10 == 1:
+                    x, y = np.unravel_index(power.argmax(), power.shape)
+                    print(f"heatmap #{n} seq={seq} peak=({x},{y}) "
+                          f"max={power.max():.3e}")
+            print("metrics:", p.report())
+        else:
+            _viewer_loop(p, args)
+    finally:
+        p.stop()
+
+
+def _viewer_loop(p: Pipeline, args):
+    import cv2
+
+    from ..utils import viz, imaging
+    prev = None
+    n = 0
+    while not args.frames or n < args.frames:
+        power, seq = p.q_power.get(timeout=10.0)
+        heat, should = viz.calculate_heatmap(power, threshold=0,
+                                             window=(720, 480))
+        if prev is not None:
+            heat = imaging.add_weighted(prev, 0.5, heat, 0.5)
+        prev = heat
+        cv2.imshow("zybo-rt-tpu mimo", heat)
+        if cv2.waitKey(1) == 27:
+            break
+        n += 1
+
+
+def cmd_miso(args):
+    """Steered-listening demo (``main.pyx:824-864``): beam -> audio sink,
+    steerable from the CLI."""
+    sink = "auto" if not args.headless else args.audio
+    p = _make_pipeline(args, audio_sink=args.audio, audio_path=args.out)
+    p.connect()
+    p.start_miso()
+    p.steer_cartesian_degree(args.azimuth, args.elevation)
+    try:
+        t0 = time.time()
+        while time.time() - t0 < args.seconds:
+            time.sleep(0.2)
+        print("metrics:", p.report())
+    finally:
+        p.stop()
+    if args.audio == "wav":
+        print(f"beam audio written to {args.out}")
+
+
+def cmd_record(args):
+    """.npy capture (``PC/record.py``)."""
+    from ..utils import recording
+    p = _make_pipeline(args)
+    p.connect()
+    try:
+        path = recording.record_npy(p.receiver, args.seconds, args.out)
+        data = np.load(path)
+        print(f"recorded {data.shape} float32 -> {path}")
+    finally:
+        p.stop()
+
+
+def cmd_emulate(args):
+    """Software FPGA (``udp/streamer.c`` parity): stream synthetic signal
+    or an .npy capture to loopback forever."""
+    from ..ingest.streamer import Streamer
+    cfg = Config()
+    if args.port:
+        cfg = cfg.replace(udp_port=args.port)
+    s = Streamer(cfg, n_arrays=args.arrays)
+    s.send_header()
+    rate = None if args.fast else cfg.sample_rate
+    if args.npy:
+        sig = np.load(args.npy).astype(np.float32)
+    else:
+        t = np.arange(cfg.n_samples * 64) / cfg.sample_rate
+        sig = np.tile(np.sin(2 * np.pi * args.freq * t).astype(np.float32),
+                      (cfg.n_microphones, 1)) * 0.1
+    print(f"emulating {args.arrays} array(s) on "
+          f"{cfg.udp_replay_ip}:{cfg.udp_port} "
+          f"({'max rate' if args.fast else 'real-time'})")
+    try:
+        while True:
+            s.send_signal(sig, rate)
+            if args.once:
+                break
+    except KeyboardInterrupt:
+        pass
+    finally:
+        s.close()
+
+
+def cmd_web(args):
+    from .web import serve
+    serve(replay=args.replay, port=args.http_port, udp_port=args.port,
+          headless_camera=True)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="zybo-rt-tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("mimo", help="steered-power heatmap demo")
+    _add_common(p)
+    p.set_defaults(fn=cmd_mimo)
+
+    p = sub.add_parser("miso", help="steered listening demo")
+    _add_common(p)
+    p.add_argument("--azimuth", type=float, default=0.0)
+    p.add_argument("--elevation", type=float, default=0.0)
+    p.add_argument("--seconds", type=float, default=3.0)
+    p.add_argument("--audio", default="wav",
+                   choices=["wav", "null", "sounddevice", "auto"])
+    p.add_argument("--out", default="miso.wav")
+    p.set_defaults(fn=cmd_miso)
+
+    p = sub.add_parser("record", help="raw .npy capture")
+    _add_common(p)
+    p.add_argument("--seconds", type=float, default=1.0)
+    p.add_argument("--out", default="recording.npy")
+    p.set_defaults(fn=cmd_record)
+
+    p = sub.add_parser("emulate", help="software FPGA packet streamer")
+    p.add_argument("--npy", default=None)
+    p.add_argument("--freq", type=float, default=8000.0)
+    p.add_argument("--arrays", type=int, default=3)
+    p.add_argument("--fast", action="store_true")
+    p.add_argument("--once", action="store_true")
+    p.add_argument("--port", type=int, default=None)
+    p.set_defaults(fn=cmd_emulate)
+
+    p = sub.add_parser("web", help="MJPEG web app")
+    _add_common(p)
+    p.add_argument("--http-port", type=int, default=8000)
+    p.set_defaults(fn=cmd_web)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,297 @@
+"""Single-process real-time pipeline.
+
+The reference spreads one dataflow across five+ processes (fork'd C
+receiver, fork'd MISO child, multiprocessing producers, YOLO process,
+viewer — ``main.pyx:669-736``, SURVEY.md §3.2).  Here each stage is a
+thread around a jitted device program, sharing queues with the reference's
+drop-oldest backpressure (``main.pyx:639-650``); XLA's async dispatch gives
+the pipeline overlap the process pool was simulating.
+
+Stages:
+* :class:`HeatmapProducer` — fresh frame -> steered-power map -> q_power
+  (the ``_loop_mimo_*`` producers, ``main.pyx:172-380``);
+* :class:`MisoProducer`    — fresh frame -> steered beam -> gain -> audio
+  sink, steerable live (``api.c:491-543`` miso_loop);
+* :class:`CameraProducer`  — camera frames -> q_viewer + q_yolo
+  (``main.pyx:614-661`` camera_reader);
+* :class:`TrackerStage`    — q_yolo -> YOLO+SORT overlay -> q_inference.
+
+Steering: :meth:`Pipeline.steer_cartesian_degree` /
+:meth:`Pipeline.steer_click` mirror ``main.pyx:498-528`` without the
+recompile (the direction index is a traced argument).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from typing import Optional
+
+import numpy as np
+
+from ..config import Config
+from ..ingest.receiver import Receiver
+from ..ops import beamform
+from ..utils import audio as audio_mod
+from ..utils.metrics import PipelineMetrics
+
+
+def put_drop_oldest(q: queue.Queue, item) -> bool:
+    """The reference's backpressure: full queue -> drop the oldest
+    (``main.pyx:639-650``).  Returns False if the item was dropped instead."""
+    try:
+        q.put_nowait(item)
+        return True
+    except queue.Full:
+        try:
+            q.get_nowait()
+        except queue.Empty:
+            pass
+        try:
+            q.put_nowait(item)
+            return True
+        except queue.Full:
+            return False
+
+
+class Stage(threading.Thread):
+    def __init__(self, name: str, metrics: PipelineMetrics):
+        super().__init__(name=name, daemon=True)
+        self.stop_event = threading.Event()
+        self.metric = metrics.stage(name)
+
+    def stop(self):
+        self.stop_event.set()
+
+
+class HeatmapProducer(Stage):
+    def __init__(self, receiver: Receiver, tables, q_power: queue.Queue,
+                 metrics: PipelineMetrics, power_fn=None):
+        super().__init__("heatmap", metrics)
+        self.receiver = receiver
+        self.tables = tables
+        self.q_power = q_power
+        self.power_fn = power_fn or (
+            lambda f: beamform.steered_power(f, self.tables))
+
+    def run(self):
+        seq = 0
+        while not self.stop_event.is_set():
+            try:
+                frame, seq = self.receiver.read_frame(fresh=True,
+                                                      last_seq=seq,
+                                                      timeout=1.0)
+            except TimeoutError:
+                continue
+            t0 = time.perf_counter()
+            power = np.asarray(self.power_fn(frame))
+            self.metric.tick(time.perf_counter() - t0)
+            if not put_drop_oldest(self.q_power, (power, seq)):
+                self.metric.drop()
+
+
+class MisoProducer(Stage):
+    def __init__(self, receiver: Receiver, tables, cfg: Config,
+                 sink: audio_mod.AudioSink, metrics: PipelineMetrics):
+        super().__init__("miso", metrics)
+        self.receiver = receiver
+        self.tables = tables
+        self.cfg = cfg
+        self.sink = sink
+        self._direction = 0
+        self._lock = threading.Lock()
+
+    def steer(self, direction: int):
+        """``api.c:576-581``: mutate the steer offset live."""
+        with self._lock:
+            self._direction = int(direction)
+
+    def run(self):
+        seq = 0
+        n = self.tables.n_mics
+        while not self.stop_event.is_set():
+            try:
+                frame, seq = self.receiver.read_frame(fresh=True,
+                                                      last_seq=seq,
+                                                      timeout=1.0)
+            except TimeoutError:
+                continue
+            with self._lock:
+                d = self._direction
+            t0 = time.perf_counter()
+            beam = np.asarray(beamform.miso_beam(frame, self.tables, d))
+            out = audio_mod.miso_gain(beam, n, self.cfg.mic_gain,
+                                      self.cfg.norm_factor_sound)
+            self.sink.write(out.astype(np.float32))
+            self.metric.tick(time.perf_counter() - t0)
+
+
+class CameraProducer(Stage):
+    def __init__(self, capture, q_viewer: queue.Queue, q_yolo: queue.Queue,
+                 metrics: PipelineMetrics, fps_limit: float = 60.0):
+        super().__init__("camera", metrics)
+        self.capture = capture
+        self.q_viewer = q_viewer
+        self.q_yolo = q_yolo
+        self.interval = 1.0 / fps_limit
+
+    def run(self):
+        n = 0
+        while not self.stop_event.is_set():
+            ok, frame = self.capture.read()
+            if not ok:
+                break
+            n += 1
+            self.metric.tick()
+            put_drop_oldest(self.q_viewer, (n, frame))
+            put_drop_oldest(self.q_yolo, (n, frame))
+            time.sleep(self.interval)
+
+
+class TrackerStage(Stage):
+    def __init__(self, detector, q_yolo: queue.Queue,
+                 q_inference: queue.Queue, metrics: PipelineMetrics):
+        super().__init__("tracker", metrics)
+        self.q_yolo = q_yolo
+        self.q_inference = q_inference
+        from ..models.tracking import SmoothedTracker
+        from ..utils import imaging
+        self._imaging = imaging
+        self.tracker = SmoothedTracker(detector)
+
+    def run(self):
+        from ..models.tracking import compute_iou
+        rect_conf = [[0, 0], [0, 0], 0]
+        while not self.stop_event.is_set():
+            try:
+                frame_no, frame = self.q_yolo.get(timeout=0.5)
+            except queue.Empty:
+                continue
+            t0 = time.perf_counter()
+            if frame.ndim == 2:
+                frame = np.repeat(frame[..., None], 3, -1)
+            blank = np.zeros_like(frame)
+            tracks, dets = self.tracker.step(frame)
+            for tr in tracks:
+                x1, y1, x2, y2, tid = tr.astype(int)
+                self._imaging.rectangle(blank, (x1, y1), (x2, y2),
+                                        (0, 255, 0), 2)
+                conf = 0.0
+                for det in dets:
+                    if compute_iou([x1, y1, x2, y2], det[:4]) > 0.5:
+                        conf = float(det[4])
+                        break
+                rect_conf = [[int(x1), int(y1)], [int(x2), int(y2)], conf]
+            self.metric.tick(time.perf_counter() - t0)
+            put_drop_oldest(self.q_inference, (frame_no, blank, rect_conf))
+
+
+class Pipeline:
+    """Owns the receiver + stages; the ``mimo()``/``miso()`` orchestration
+    layer (``main.pyx:669-736,824-864``) as one object."""
+
+    def __init__(self, cfg: Optional[Config] = None, algorithm: str = "lerp",
+                 replay_mode: bool = False, backend: str = "auto",
+                 audio_sink: str = "null", audio_path: Optional[str] = None,
+                 power_fn=None):
+        self.cfg = cfg or Config()
+        self.metrics = PipelineMetrics()
+        self.tables = beamform.make_tables(self.cfg, algorithm)
+        self.receiver = Receiver(self.cfg, replay_mode=replay_mode,
+                                 backend=backend)
+        self.q_power: queue.Queue = queue.Queue(maxsize=2)
+        self.q_viewer: queue.Queue = queue.Queue(maxsize=2)
+        self.q_yolo: queue.Queue = queue.Queue(maxsize=2)
+        self.q_inference: queue.Queue = queue.Queue(maxsize=2)
+        self.stages = []
+        self._audio_sink_kind = audio_sink
+        self._audio_path = audio_path
+        self._miso: Optional[MisoProducer] = None
+        self._power_fn = power_fn
+
+    # -- bring-up -------------------------------------------------------------
+
+    def connect(self, timeout: float = 30.0) -> int:
+        return self.receiver.connect(timeout=timeout)
+
+    def start_heatmap(self, warmup: bool = True):
+        s = HeatmapProducer(self.receiver, self.tables, self.q_power,
+                            self.metrics, power_fn=self._power_fn)
+        if warmup:
+            # jit-compile before the thread starts so the first live frame
+            # is not delayed by the (slow, ~30 s on a tunneled TPU) compile.
+            zeros = np.zeros((self.cfg.n_microphones, self.cfg.n_samples),
+                             np.float32)
+            np.asarray(s.power_fn(zeros))
+        self.stages.append(s)
+        s.start()
+        return s
+
+    def start_miso(self, warmup: bool = True):
+        sink = audio_mod.make_sink(self._audio_sink_kind,
+                                   self.cfg.sample_rate, self._audio_path)
+        s = MisoProducer(self.receiver, self.tables, self.cfg, sink,
+                         self.metrics)
+        if warmup:
+            zeros = np.zeros((self.cfg.n_microphones, self.cfg.n_samples),
+                             np.float32)
+            np.asarray(beamform.miso_beam(zeros, self.tables, 0))
+        self._miso = s
+        self.stages.append(s)
+        s.start()
+        return s
+
+    def start_camera(self, capture):
+        s = CameraProducer(capture, self.q_viewer, self.q_yolo, self.metrics)
+        self.stages.append(s)
+        s.start()
+        return s
+
+    def start_tracker(self, detector):
+        s = TrackerStage(detector, self.q_yolo, self.q_inference,
+                         self.metrics)
+        self.stages.append(s)
+        s.start()
+        return s
+
+    # -- steering (main.pyx:498-528 semantics) ---------------------------------
+
+    def steer_cartesian_degree(self, azimuth: float, elevation: float):
+        assert -90 <= azimuth <= 90 and -90 <= elevation <= 90, \
+            "Invalid range"
+        d = beamform.steer_index(self.cfg, azimuth, elevation)
+        if self._miso is not None:
+            self._miso.steer(d)
+        return d
+
+    def steer_click(self, horizontal01: float, vertical01: float):
+        """Normalized click coords -> grid cell (``stear_miso_beam``)."""
+        az = int(np.clip(horizontal01 * self.cfg.max_res_x, 0,
+                         self.cfg.max_res_x - 1))
+        el = int(np.clip(vertical01 * self.cfg.max_res_y, 0,
+                         self.cfg.max_res_y - 1))
+        d = az * self.cfg.max_res_y + el
+        if self._miso is not None:
+            self._miso.steer(d)
+        return d
+
+    # -- teardown --------------------------------------------------------------
+
+    def stop(self):
+        for s in self.stages:
+            s.stop()
+        for s in self.stages:
+            s.join(timeout=2.0)
+        self.receiver.disconnect()
+        if self._miso is not None:
+            self._miso.sink.close()
+
+    def report(self):
+        rep = self.metrics.report()
+        rep["ingest"] = {
+            "packets": self.receiver.native_stats.packets,
+            "frames": self.receiver.native_stats.frames,
+            "gaps": self.receiver.native_stats.gaps,
+        }
+        return rep

@@ -1,0 +1,242 @@
+"""Web application: MJPEG monitor with switchable beamformer backends.
+
+Re-implements the reference Django app (``PC/application``) on the stdlib
+``http.server`` (Django is not in this image) with route parity
+(``application/urls.py:24-35``):
+
+* ``/``                 — landing page with backend links + sliders
+* ``/enableBackend1``   — pad delay-and-sum backend  (``views.py:49-55``)
+* ``/enableBackend2``   — convolve backend
+* ``/enableBackend3``   — FFT-domain backend         (``camera.py:68-73``)
+* ``/sound``            — pad + steered MISO audio   (``views.py``)
+* ``/monitor``          — multipart/x-mixed-replace MJPEG stream
+                          (``camera.py:129-133`` gen)
+* ``/disconnect``       — stop producers and the receiver
+
+Threshold/amount come from GET query params like the reference's sliders
+(``views.py:20-30``); the heatmap overlay uses the same EMA blend
+(``camera.py:76-104`` handle_image).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from ..config import Config
+from ..utils import imaging, viz
+from .pipeline import Pipeline
+
+_PAGE = """<!doctype html><html><head><title>zybo-rt-tpu</title></head>
+<body style="font-family:sans-serif">
+<h2>zybo-rt-tpu — acoustic camera</h2>
+<p>backend: <b>{backend}</b> | threshold {threshold} | amount {amount}</p>
+<p>
+ <a href="/enableBackend1?threshold={threshold}&amount={amount}">pad</a> |
+ <a href="/enableBackend2?threshold={threshold}&amount={amount}">convolve</a> |
+ <a href="/enableBackend3?threshold={threshold}&amount={amount}">fft</a> |
+ <a href="/sound?threshold={threshold}&amount={amount}">pad + sound</a> |
+ <a href="/disconnect">disconnect</a>
+</p>
+<form action="{action}" method="get">
+ threshold <input type="range" name="threshold" min="0" max="1" step="0.01"
+   value="{threshold}">
+ amount <input type="range" name="amount" min="0" max="1" step="0.01"
+   value="{amount}">
+ <input type="submit" value="apply">
+</form>
+<img src="/monitor" style="max-width:90%">
+</body></html>"""
+
+_BACKENDS = {1: "pad", 2: "convolve", 3: "fft"}
+
+
+class SyntheticCamera:
+    """Headless camera stand-in: moving gradient frames."""
+
+    def __init__(self, size=(480, 640)):
+        self.size = size
+        self.i = 0
+
+    def read(self):
+        h, w = self.size
+        self.i += 1
+        x = np.linspace(0, 255, w, dtype=np.float32)[None, :]
+        y = np.linspace(0, 255, h, dtype=np.float32)[:, None]
+        img = np.stack([np.broadcast_to((x + self.i * 3) % 256, (h, w)),
+                        np.broadcast_to(y, (h, w)),
+                        np.full((h, w), 64, np.float32)], axis=-1)
+        return True, img.astype(np.uint8)
+
+
+class VideoCamera:
+    """Owns the pipeline + camera and renders monitor frames
+    (``camera.py:16-133`` VideoCamera)."""
+
+    def __init__(self, cfg: Config, replay: bool, headless_camera: bool,
+                 camera_src=0):
+        self.cfg = cfg
+        self.replay = replay
+        self.threshold = 0.0
+        self.amount = 0.5
+        self.backend = 1
+        self.pipeline: Pipeline | None = None
+        self.camera = (SyntheticCamera() if headless_camera
+                       else viz._CvCapture(camera_src))
+        self._prev_heat = None
+        self._lock = threading.Lock()
+
+    # -- backend lifecycle (views.py:32-98 semantics) ---------------------------
+
+    def start(self, backend: int, sound: bool = False):
+        with self._lock:
+            self._stop_locked()
+            algo = _BACKENDS.get(backend, "pad")
+            p = Pipeline(self.cfg, algorithm="pad" if algo == "fft" else algo,
+                         replay_mode=self.replay, audio_sink="null")
+            if algo == "fft":
+                from ..ops import freq
+                ft = freq.make_freq_tables(self.cfg)
+                p._power_fn = lambda f: freq.fft_steered_power(f, ft)
+            p.connect()
+            p.start_heatmap()
+            if sound:
+                p.start_miso()
+            self.pipeline = p
+            self.backend = backend
+
+    def stop(self):
+        with self._lock:
+            self._stop_locked()
+
+    def _stop_locked(self):
+        if self.pipeline is not None:
+            self.pipeline.stop()
+            self.pipeline = None
+
+    # -- frame rendering ---------------------------------------------------------
+
+    def get_frame(self):
+        """camera frame + EMA heatmap overlay -> JPEG (handle_image,
+        ``camera.py:76-104``)."""
+        ok, frame = self.camera.read()
+        if not ok:
+            frame = np.zeros((480, 640, 3), np.uint8)
+        frame = imaging.resize(frame, (self.cfg.window_width,
+                                       self.cfg.window_height))
+        p = self.pipeline
+        if p is not None:
+            try:
+                power, _ = p.q_power.get(timeout=0.5)
+                heat, should = viz.calculate_heatmap(
+                    power, threshold=self.threshold, amount=self.amount,
+                    window=(self.cfg.window_width, self.cfg.window_height))
+                if self._prev_heat is not None:
+                    heat = imaging.add_weighted(self._prev_heat, 0.5,
+                                                heat, 0.5)
+                self._prev_heat = heat
+                if should:
+                    frame = imaging.add_weighted(frame, 0.9, heat, 0.9)
+            except Exception:
+                pass
+        return _jpeg(frame)
+
+
+def _jpeg(img: np.ndarray) -> bytes:
+    try:
+        import cv2
+        ok, buf = cv2.imencode(".jpg", img)
+        return buf.tobytes()
+    except ImportError:                                # pragma: no cover
+        import io
+        from PIL import Image
+        b = io.BytesIO()
+        Image.fromarray(img[..., ::-1]).save(b, "JPEG")
+        return b.getvalue()
+
+
+def make_server(cfg: Config = None, replay: bool = False, port: int = 8000,
+                headless_camera: bool = True, host: str = "127.0.0.1"):
+    cfg = cfg or Config()
+    cam = VideoCamera(cfg, replay, headless_camera)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):                    # quiet
+            pass
+
+        def _page(self, action="/"):
+            body = _PAGE.format(backend=_BACKENDS.get(cam.backend, "none"),
+                                threshold=cam.threshold, amount=cam.amount,
+                                action=action).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _sliders(self, q):
+            if "threshold" in q:
+                cam.threshold = float(q["threshold"][0])
+            if "amount" in q:
+                cam.amount = float(q["amount"][0])
+
+        def do_GET(self):
+            u = urlparse(self.path)
+            q = parse_qs(u.query)
+            if u.path == "/":
+                self._page()
+            elif u.path.startswith("/enableBackend"):
+                self._sliders(q)
+                n = int(u.path[-1])
+                cam.start(n)
+                self._page(action=u.path)
+            elif u.path == "/sound":
+                self._sliders(q)
+                cam.start(1, sound=True)
+                self._page(action="/sound")
+            elif u.path == "/disconnect":
+                cam.stop()
+                self._page()
+            elif u.path == "/monitor":
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type",
+                    "multipart/x-mixed-replace; boundary=frame")
+                self.end_headers()
+                try:
+                    while True:
+                        jpg = cam.get_frame()
+                        self.wfile.write(b"--frame\r\n"
+                                         b"Content-Type: image/jpeg\r\n\r\n")
+                        self.wfile.write(jpg)
+                        self.wfile.write(b"\r\n")
+                        time.sleep(0.03)
+                except (BrokenPipeError, ConnectionResetError):
+                    pass
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.camera = cam
+    return server
+
+
+def serve(replay: bool = False, port: int = 8000, udp_port=None,
+          headless_camera: bool = True):
+    cfg = Config()
+    if udp_port:
+        cfg = cfg.replace(udp_port=udp_port)
+    server = make_server(cfg, replay, port, headless_camera)
+    print(f"serving on http://127.0.0.1:{port}  (routes: /, /monitor, "
+          f"/enableBackend1..3, /sound, /disconnect)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.camera.stop()

@@ -1,0 +1,94 @@
+"""Sensor-fusion decider — merges camera, YOLO overlay, acoustic power box
+and heatmap into one display frame with modality gating.
+
+Semantics from ``PC/sensorfusion/decider.py:3-88``:
+
+* light level below 0.2 -> drop the YOLO modality (camera is blind);
+* heatmap entropy confidence ``1 / (1 + H)`` (reported to the caller);
+* ``focus_beam`` steers the audio beam at a YOLO box center when its
+  confidence clears 0.5.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence, Tuple
+
+import numpy as np
+
+from ..utils import imaging
+
+
+class SensorFusionDecider:
+    def __init__(self, display_size: Tuple[int, int] = (640, 360),
+                 max_angle: float = 30.0, aspect_ratio: float = 16 / 9):
+        self.display_size = display_size
+        self.image_confidence_threshold = 0.5
+        self.max_x = max_angle
+        self.max_y = max_angle / aspect_ratio
+        self.last_light_level = None
+        self.last_entropy_confidence = None
+
+    def get_lightlevel(self, image: np.ndarray) -> float:
+        """decider.py:10-14: mean gray brightness normalized to [0, 1]."""
+        return imaging.mean_brightness(image) / 255.0
+
+    def get_entropy(self, heatmap: np.ndarray) -> float:
+        """decider.py:16-24: Shannon entropy of the normalized heatmap ->
+        confidence 1/(1+H)."""
+        h = np.asarray(heatmap, np.float64)
+        s = h.sum()
+        h = h / s if s > 0 else np.zeros_like(h)
+        entropy = -np.sum(h * np.log(h + 1e-12))
+        return float(1.0 / (1.0 + entropy))
+
+    def _ensure_shape(self, img: np.ndarray) -> np.ndarray:
+        img = imaging.resize(img, self.display_size)
+        img = imaging.gray_to_bgr(img)
+        if img.dtype != np.uint8:
+            if img.dtype == np.float32 or img.dtype == np.float64:
+                img = (255 * np.clip(img, 0, 1)).astype(np.uint8)
+            else:
+                img = img.astype(np.uint8)
+        return img
+
+    def get_decision(self, image, yolo_image, power_image, heatmap):
+        """decider.py:53-68: modality gating."""
+        light = self.get_lightlevel(image)
+        self.last_light_level = light
+        if light < 0.2:
+            yolo_image = np.zeros_like(image)
+        self.last_entropy_confidence = self.get_entropy(heatmap)
+        return image, yolo_image, power_image
+
+    def create_image(self, image, yolo_image, power_image, heatmap):
+        """decider.py:26-51: gate, blend, flip."""
+        image = self._ensure_shape(image)
+        yolo_image = self._ensure_shape(yolo_image)
+        power_image = self._ensure_shape(power_image)
+        heatmap = self._ensure_shape(heatmap)
+        image, yolo_image, power_image = self.get_decision(
+            image, yolo_image, power_image, heatmap)
+        yolo_image = imaging.flip_horizontal(yolo_image)
+        combined = imaging.add_weighted(image, 1.0, yolo_image, 0.7)
+        combined = imaging.add_weighted(combined, 1.0, power_image, 0.7)
+        combined = imaging.add_weighted(combined, 1.0, heatmap, 0.7)
+        return imaging.flip_horizontal(combined)
+
+    def focus_beam(self, callback: Callable[[float, float], None],
+                   box: Sequence[float]):
+        """decider.py:70-88: steer at the box center when confident."""
+        x1, y1, x2, y2, conf = box
+        if conf < self.image_confidence_threshold:
+            return -1, -1
+        x_mid = (x1 + x2) / 2.0
+        y_mid = (y1 + y2) / 2.0
+        horizontal = (x_mid / self.display_size[0]) * self.max_x * 2 \
+            - self.max_x
+        vertical = (y_mid / self.display_size[1]) * self.max_y * 2 \
+            - self.max_y
+        callback(horizontal, vertical)
+        return 0
+
+
+# reference-compatible alias (PC/sensorfusion/decider.py:3)
+sensorfusiondecider = SensorFusionDecider

@@ -24,8 +24,9 @@ All four algorithms — pad (1 tap), lerp (2 taps), convolve (n_taps),
 hybrid (n_taps) — are the *same kernel* with different W.  The only
 deviations from a pure shift are boundary terms at the start of the frame
 (the C loops run ``i in [0, N-pad-1)``, cutting a handful of products that
-involve ``s[m, 0..2]``); those are applied as an exact sparse correction
-scatter *before* squaring.  See the per-algorithm builders for the math.
+involve ``s[m, 0..2]``); those are applied exactly, *before* squaring, as a
+second dense one-hot einsum into the first few output columns (scatter-free
+— see ``_build_corrections``).
 
 Performance: for the reference config the contraction is ~(1824 x 9600) @
 (9600 x 256) ≈ 9 GFLOP/frame — microseconds on one TPU chip, and the
@@ -64,16 +65,18 @@ class SteeringTables:
 
     # (D, T, M) float32 — tap weight for direction d, shift tau_min+t, mic m.
     W: jax.Array
-    # (C, D, M) float32 — boundary-correction weights (subtracted), and
-    # (C, D, M) int32 — output sample position of each correction (<0: none).
-    corr_w: Optional[jax.Array]
-    corr_pos: Optional[jax.Array]
+    # (J, D, Tc, M) float32 — boundary-correction weights: correction group
+    # j multiplies s[m, corr_js[j]] and subtracts at output column t < Tc.
+    # Dense one-hot layout so the correction is an einsum + static slice
+    # update (a runtime scatter of ~3e5 indices made the TPU compiler take
+    # tens of minutes).
+    Wc: Optional[jax.Array]
     # (M,) int32 — active mic indices into the full channel axis.
     adaptive: jax.Array
 
     # static metadata (hashable; part of jit specialization)
     tau_min: int = dataclasses.field(metadata=dict(static=True))
-    corr_j: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    corr_js: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
     n_samples: int = dataclasses.field(metadata=dict(static=True))
     res_x: int = dataclasses.field(metadata=dict(static=True))
     res_y: int = dataclasses.field(metadata=dict(static=True))
@@ -105,18 +108,16 @@ def _scatter_w(delays_shift: np.ndarray, weights: np.ndarray,
 
 
 def _tables(cfg: Config, W: np.ndarray, algorithm: str, tau_min: int,
-            corr_w: Optional[np.ndarray] = None,
-            corr_pos: Optional[np.ndarray] = None,
-            corr_j: Tuple[int, ...] = ()) -> SteeringTables:
+            Wc: Optional[np.ndarray] = None,
+            corr_js: Tuple[int, ...] = ()) -> SteeringTables:
     active, _ = geometry.active_microphones(cfg)
     dt = jnp.dtype(cfg.matmul_dtype)
     return SteeringTables(
         W=jnp.asarray(W, dtype=dt),
-        corr_w=None if corr_w is None else jnp.asarray(corr_w, jnp.float32),
-        corr_pos=None if corr_pos is None else jnp.asarray(corr_pos, jnp.int32),
+        Wc=None if Wc is None else jnp.asarray(Wc, jnp.float32),
         adaptive=jnp.asarray(active, jnp.int32),
         tau_min=tau_min,
-        corr_j=corr_j,
+        corr_js=corr_js,
         n_samples=cfg.n_samples,
         res_x=cfg.max_res_x,
         res_y=cfg.max_res_y,
@@ -162,9 +163,9 @@ def make_lerp_tables(cfg: Config) -> SteeringTables:
     weights = np.stack([hh, 1.0 - hh], axis=-1)
     T = int(shifts.max()) + 1
     W = _scatter_w(shifts, weights, 0, T)
-    corr_w = hh[None]                                               # (1, D, M)
-    corr_pos = wh[None].astype(np.int32)
-    return _tables(cfg, W, "lerp", 0, corr_w, corr_pos, corr_j=(0,))
+    Wc, corr_js = _build_corrections(
+        [(0, hh, wh)], D, hh.shape[1])
+    return _tables(cfg, W, "lerp", 0, Wc, corr_js)
 
 
 def make_convolve_tables(cfg: Config) -> SteeringTables:
@@ -210,19 +211,48 @@ def make_hybrid_tables(cfg: Config) -> SteeringTables:
     T = int(shifts.max()) - tau_min + 1
     W = _scatter_w(shifts, hh, tau_min, T)
 
-    corr_w, corr_pos, corr_j = [], [], []
+    entries = []
     for kk in range(off + 1, K):
         for j in range(kk - off):
-            corr_w.append(hh[:, :, kk])
-            corr_pos.append(j + wh + 1 + off - kk)
-            corr_j.append(j)
-    corr_w = np.stack(corr_w, axis=0)                               # (C, D, M)
-    corr_pos = np.stack(corr_pos, axis=0).astype(np.int32)
-    return _tables(cfg, W, "hybrid", tau_min, corr_w, corr_pos,
-                   corr_j=tuple(corr_j))
+            entries.append((j, hh[:, :, kk], j + wh + 1 + off - kk))
+    Wc, corr_js = _build_corrections(entries, D, hh.shape[1])
+    return _tables(cfg, W, "hybrid", tau_min, Wc, corr_js)
 
 
-def make_tables(cfg: Config, algorithm: str) -> SteeringTables:
+def _build_corrections(entries, D: int, M: int):
+    """entries: list of (signal_index_j, weight (D, M), out_pos (D, M)).
+
+    Packs them into the dense one-hot tensor ``Wc[j_group, d, t, m]`` with
+    positions past the max kept column or below 0 dropped (those products
+    never existed in the C output)."""
+    if not entries:
+        return None, ()
+    tc = max(int(pos.max()) for _, _, pos in entries) + 1
+    groups = {}
+    for j, w, pos in entries:
+        groups.setdefault(j, []).append((w, pos))
+    corr_js = tuple(sorted(groups))
+    Wc = np.zeros((len(corr_js), D, tc, M), np.float32)
+    d_idx = np.repeat(np.arange(D), M)
+    m_idx = np.tile(np.arange(M), D)
+    for gi, j in enumerate(corr_js):
+        for w, pos in groups[j]:
+            p = pos.reshape(-1)
+            ok = p >= 0
+            np.add.at(Wc[gi], (d_idx[ok], p[ok], m_idx[ok]),
+                      w.reshape(-1)[ok].astype(np.float32))
+    return Wc, corr_js
+
+
+def make_tables(cfg: Config, algorithm: str,
+                cache: bool = True) -> SteeringTables:
+    """Build (or load from the on-disk table cache) the steering tables.
+
+    The reference recomputes every coefficient table at process start
+    (``main.pyx:177-181``); table design for the full config costs a few
+    seconds of host FIR math, so built tables are cached under
+    ``~/.cache/zrt_tables`` keyed by the geometry-relevant config fields.
+    """
     builder = {
         "pad": make_pad_tables,
         "lerp": make_lerp_tables,
@@ -230,7 +260,44 @@ def make_tables(cfg: Config, algorithm: str) -> SteeringTables:
         "hybrid": make_hybrid_tables,
         "truncated": make_truncated_tables,
     }[algorithm]
-    return builder(cfg)
+    if not cache:
+        return builder(cfg)
+
+    import hashlib
+    import os
+
+    key_fields = (algorithm, cfg.n_microphones, cfg.n_samples, cfg.n_taps,
+                  cfg.columns, cfg.rows, cfg.max_res_x, cfg.max_res_y,
+                  cfg.z_scan, cfg.max_angle, cfg.view_angle, cfg.sample_rate,
+                  cfg.element_distance, cfg.array_slots, cfg.skip_n_mics,
+                  cfg.propagation_speed, cfg.aspect_ratio, cfg.unused_mics,
+                  cfg.matmul_dtype)
+    key = hashlib.sha1(repr(key_fields).encode()).hexdigest()[:16]
+    cdir = os.environ.get("ZRT_TABLE_CACHE_DIR",
+                          os.path.expanduser("~/.cache/zrt_tables"))
+    path = os.path.join(cdir, f"{algorithm}-{key}.npz")
+    if os.path.exists(path):
+        z = np.load(path, allow_pickle=False)
+        active, _ = geometry.active_microphones(cfg)
+        return SteeringTables(
+            W=jnp.asarray(z["W"], jnp.dtype(cfg.matmul_dtype)),
+            Wc=jnp.asarray(z["Wc"], jnp.float32) if "Wc" in z else None,
+            adaptive=jnp.asarray(active, jnp.int32),
+            tau_min=int(z["tau_min"]),
+            corr_js=tuple(int(j) for j in z["corr_js"]),
+            n_samples=cfg.n_samples, res_x=cfg.max_res_x,
+            res_y=cfg.max_res_y, algorithm=algorithm)
+    t = builder(cfg)
+    try:
+        os.makedirs(cdir, exist_ok=True)
+        arrays = dict(W=np.asarray(t.W), tau_min=np.int64(t.tau_min),
+                      corr_js=np.asarray(t.corr_js, np.int64))
+        if t.Wc is not None:
+            arrays["Wc"] = np.asarray(t.Wc)
+        np.savez(path, **arrays)
+    except OSError:
+        pass
+    return t
 
 
 # ---------------------------------------------------------------------------
@@ -260,23 +327,20 @@ def delay_lines(s: jax.Array, tau_min: int, T: int) -> jax.Array:
 
 def _apply_corrections(beams: jax.Array, s: jax.Array,
                        t: SteeringTables) -> jax.Array:
-    """Subtract the exact boundary terms.  beams: (B, D, N); s: (B, M, N)."""
-    if t.corr_w is None:
+    """Subtract the exact boundary terms.  beams: (B, D, N); s: (B, M, N).
+
+    ``corr[b, d, t'] = sum_j sum_m Wc[j, d, t', m] * s[b, m, corr_js[j]]``
+    applied to the first Tc output columns — an einsum plus a static slice
+    update, no runtime scatter.
+    """
+    if t.Wc is None:
         return beams
-    B, D, N = beams.shape
-    # vals[b, c, d, m] = corr_w[c,d,m] * s[b, m, corr_j[c]]
-    sj = jnp.stack([s[:, :, j] for j in t.corr_j], axis=1)          # (B, C, M)
-    vals = t.corr_w[None] * sj[:, :, None, :]                       # (B,C,D,M)
-    d_idx = jnp.broadcast_to(jnp.arange(D)[None, :, None], t.corr_pos.shape)
-    flat_idx = jnp.where(
-        (t.corr_pos >= 0) & (t.corr_pos < N),
-        d_idx * N + t.corr_pos,
-        D * N,  # out of bounds -> dropped
-    ).reshape(-1)
-    flat_vals = vals.reshape(B, -1)
-    out = beams.reshape(B, D * N)
-    out = out.at[:, flat_idx].add(-flat_vals, mode="drop")
-    return out.reshape(B, D, N)
+    dt = beams.dtype
+    sj = jnp.stack([s[:, :, j] for j in t.corr_js], axis=1)        # (B, J, M)
+    corr = jnp.einsum("jdtm,bjm->bdt", t.Wc.astype(dt), sj.astype(dt),
+                      precision=jax.lax.Precision.HIGHEST)
+    tc = corr.shape[-1]
+    return beams.at[:, :, :tc].add(-corr)
 
 
 @partial(jax.jit, static_argnames=("mean_power",))
@@ -349,13 +413,15 @@ def miso_beam(signals: jax.Array, t: SteeringTables,
             beam = beam + jnp.pad(G[:, ti, : N - tau], ((0, 0), (tau, 0)))
         else:
             beam = beam + jnp.pad(G[:, ti, -tau:], ((0, 0), (0, -tau)))
-    if t.corr_w is not None:
-        cw = t.corr_w[:, direction, :]                              # (C, M)
-        cpos = t.corr_pos[:, direction, :]                          # (C, M)
-        sj = jnp.stack([s[:, :, j] for j in t.corr_j], axis=1)      # (B, C, M)
-        vals = (cw[None] * sj).reshape(signals.shape[0], -1)
-        idx = jnp.where((cpos >= 0) & (cpos < N), cpos, N).reshape(-1)
-        beam = beam.at[:, idx].add(-vals, mode="drop")
+    if t.Wc is not None:
+        Wcd = jax.lax.dynamic_index_in_dim(t.Wc, direction, 1,
+                                           keepdims=False)          # (J,Tc,M)
+        sj = jnp.stack([s[:, :, j] for j in t.corr_js], axis=1)     # (B,J,M)
+        corr = jnp.einsum("jtm,bjm->bt", Wcd.astype(jnp.float32),
+                          sj.astype(jnp.float32),
+                          precision=jax.lax.Precision.HIGHEST)
+        tc = corr.shape[-1]
+        beam = beam.at[:, :tc].add(-corr)
     return beam[0] if squeeze else beam
 
 

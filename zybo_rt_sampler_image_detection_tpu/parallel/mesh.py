@@ -47,19 +47,16 @@ def shard_tables(t: SteeringTables, mesh: Mesh) -> SteeringTables:
     D = t.W.shape[0]
     if D % d_model:
         pad = d_model - D % d_model
-        corr_w, corr_pos = t.corr_w, t.corr_pos
-        if corr_w is not None:
-            corr_w = jnp.concatenate(
-                [corr_w, jnp.zeros((corr_w.shape[0], pad, corr_w.shape[2]),
-                                   corr_w.dtype)], axis=1)
-            corr_pos = jnp.concatenate(
-                [corr_pos, -jnp.ones((corr_pos.shape[0], pad,
-                                      corr_pos.shape[2]), jnp.int32)], axis=1)
+        Wc = t.Wc
+        if Wc is not None:
+            Wc = jnp.concatenate(
+                [Wc, jnp.zeros((Wc.shape[0], pad) + Wc.shape[2:],
+                               Wc.dtype)], axis=1)
         t = dataclasses.replace(
             t,
             W=jnp.concatenate(
                 [t.W, jnp.zeros((pad,) + t.W.shape[1:], t.W.dtype)], axis=0),
-            corr_w=corr_w, corr_pos=corr_pos)
+            Wc=Wc)
 
     def put(x, spec):
         return None if x is None else jax.device_put(
@@ -68,8 +65,7 @@ def shard_tables(t: SteeringTables, mesh: Mesh) -> SteeringTables:
     return dataclasses.replace(
         t,
         W=put(t.W, P("model", None, None)),
-        corr_w=put(t.corr_w, P(None, "model", None)),
-        corr_pos=put(t.corr_pos, P(None, "model", None)),
+        Wc=put(t.Wc, P(None, "model", None, None)),
         adaptive=put(t.adaptive, P()),
     )
 
