@@ -27,18 +27,11 @@ def main() -> None:
         FusedBeamformer,
     )
 
-    cfg = zrt.Config.northstar()
-    tables = beamform.make_lerp_tables(cfg)
-    fused = FusedBeamformer(tables)
-
     B = 512
+    cfg0 = zrt.Config.northstar()
     rng = np.random.default_rng(0)
-    frames = rng.standard_normal(
-        (B, cfg.n_microphones, cfg.n_samples)
-    ).astype(np.float32)
-    frames_dev = jax.device_put(frames)
-
-    xla_fn = jax.jit(lambda f: beamform.steered_power(f, tables))
+    frames_dev = jax.device_put(rng.standard_normal(
+        (B, cfg0.n_microphones, cfg0.n_samples)).astype(np.float32))
 
     def timed(fn, n_iter=8):
         fn(frames_dev).block_until_ready()          # compile + warm
@@ -47,21 +40,30 @@ def main() -> None:
         for _ in range(n_iter):
             out = fn(frames_dev)
         out.block_until_ready()
-        dt = time.perf_counter() - t0
-        return (B * n_iter) / dt
+        return (B * n_iter) / (time.perf_counter() - t0)
 
-    candidates = {"xla": timed(xla_fn)}
-    if fused.fits_vmem:
-        candidates["pallas"] = timed(fused._call)
-    value = max(candidates.values())
+    ladder = {}
+    # "highest": bit-level f32 (the exactness-gate mode); "high": 3-pass
+    # (~1.6e-5 rel — the production default quality point, still inside the
+    # fp32-tolerance fidelity gate); "default": single-pass bf16 (~2e-3).
+    for prec in ("highest", "high", "default"):
+        cfg = cfg0.replace(matmul_precision=prec)
+        tables = beamform.make_tables(cfg, "lerp", cache=False)
+        best = timed(jax.jit(lambda f, t=tables: beamform.steered_power(f, t)))
+        fused = FusedBeamformer(tables)
+        if fused.fits_vmem and prec != "high":       # Mosaic lacks HIGH
+            best = max(best, timed(fused._call))
+        ladder[prec] = best
 
+    value = ladder["high"]
     print(json.dumps({
         "metric": "steered_power_heatmaps_per_sec_64ch_65x65",
         "value": round(value, 1),
         "unit": "heatmaps/s",
         "vs_baseline": round(value / 1000.0, 3),
     }))
-    print(f"# paths: { {k: round(v,1) for k, v in candidates.items()} } "
+    print(f"# ladder: { {k: round(v, 1) for k, v in ladder.items()} } "
+          f"(headline=high precision, rel err 1.6e-05 vs exact f32) "
           f"backend={jax.default_backend()}", file=sys.stderr)
 
 

@@ -105,6 +105,10 @@ class Config:
     # --- compute ---
     dtype: str = "float32"            # accumulation dtype on device
     matmul_dtype: str = "float32"     # W/Sdel dtype fed to the MXU
+    # MXU pass count for f32 operands: "highest" = 6-pass (bit-level f32,
+    # used by the exactness gates), "high" = 3-pass (~1e-7 rel error, 2x
+    # faster), "default" = single bf16 pass (~2e-3 rel error, ~6x faster).
+    matmul_precision: str = "highest"
 
     # ------------------------------------------------------------------
     @property

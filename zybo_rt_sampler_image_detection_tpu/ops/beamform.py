@@ -77,10 +77,17 @@ class SteeringTables:
     # static metadata (hashable; part of jit specialization)
     tau_min: int = dataclasses.field(metadata=dict(static=True))
     corr_js: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    precision: str = dataclasses.field(metadata=dict(static=True))
     n_samples: int = dataclasses.field(metadata=dict(static=True))
     res_x: int = dataclasses.field(metadata=dict(static=True))
     res_y: int = dataclasses.field(metadata=dict(static=True))
     algorithm: str = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def lax_precision(self):
+        return {"highest": jax.lax.Precision.HIGHEST,
+                "high": jax.lax.Precision.HIGH,
+                "default": jax.lax.Precision.DEFAULT}[self.precision]
 
     @property
     def n_mics(self) -> int:
@@ -118,6 +125,7 @@ def _tables(cfg: Config, W: np.ndarray, algorithm: str, tau_min: int,
         adaptive=jnp.asarray(active, jnp.int32),
         tau_min=tau_min,
         corr_js=corr_js,
+        precision=cfg.matmul_precision,
         n_samples=cfg.n_samples,
         res_x=cfg.max_res_x,
         res_y=cfg.max_res_y,
@@ -285,6 +293,7 @@ def make_tables(cfg: Config, algorithm: str,
             adaptive=jnp.asarray(active, jnp.int32),
             tau_min=int(z["tau_min"]),
             corr_js=tuple(int(j) for j in z["corr_js"]),
+            precision=cfg.matmul_precision,
             n_samples=cfg.n_samples, res_x=cfg.max_res_x,
             res_y=cfg.max_res_y, algorithm=algorithm)
     t = builder(cfg)
@@ -304,10 +313,12 @@ def make_tables(cfg: Config, algorithm: str,
 # Runtime (jit)
 # ---------------------------------------------------------------------------
 
-def delay_lines(s: jax.Array, tau_min: int, T: int) -> jax.Array:
-    """(..., M, N) -> (..., T, M, N) zero-filled shifted copies.
+def delay_lines(s: jax.Array, tau_min: int, T: int,
+                stack_axis: int = -3) -> jax.Array:
+    """(..., M, N) -> shifted copies stacked at ``stack_axis``
+    (default: (..., T, M, N)).
 
-    ``out[..., t, m, n] = s[..., m, n - (tau_min+t)]`` with zeros outside —
+    ``out[t]`` holds ``s[..., m, n - (tau_min+t)]`` with zeros outside —
     the C ``pad_delay`` semantics (``pad_and_sum.c:41-47``) for positive
     shifts and head-truncation for negative ones.
     """
@@ -322,7 +333,7 @@ def delay_lines(s: jax.Array, tau_min: int, T: int) -> jax.Array:
             rows.append(jnp.pad(s[..., : N - tau], batch_pad + [(tau, 0)]))
         else:
             rows.append(jnp.pad(s[..., -tau:], batch_pad + [(0, -tau)]))
-    return jnp.stack(rows, axis=-3)
+    return jnp.stack(rows, axis=stack_axis)
 
 
 def _apply_corrections(beams: jax.Array, s: jax.Array,
@@ -338,7 +349,20 @@ def _apply_corrections(beams: jax.Array, s: jax.Array,
     dt = beams.dtype
     sj = jnp.stack([s[:, :, j] for j in t.corr_js], axis=1)        # (B, J, M)
     corr = jnp.einsum("jdtm,bjm->bdt", t.Wc.astype(dt), sj.astype(dt),
-                      precision=jax.lax.Precision.HIGHEST)
+                      precision=t.lax_precision)
+    tc = corr.shape[-1]
+    return beams.at[:, :, :tc].add(-corr)
+
+
+def _apply_corrections_dbn(beams: jax.Array, s: jax.Array,
+                           t: SteeringTables) -> jax.Array:
+    """Same boundary terms in (D, B, N) layout (no beam transpose)."""
+    if t.Wc is None:
+        return beams
+    dt = beams.dtype
+    sj = jnp.stack([s[:, :, j] for j in t.corr_js], axis=1)        # (B, J, M)
+    corr = jnp.einsum("jdtm,bjm->dbt", t.Wc.astype(dt), sj.astype(dt),
+                      precision=t.lax_precision)
     tc = corr.shape[-1]
     return beams.at[:, :, :tc].add(-corr)
 
@@ -355,28 +379,35 @@ def steered_beams(signals: jax.Array, t: SteeringTables,
     squeeze = signals.ndim == 2
     if squeeze:
         signals = signals[None]
-    s = signals[:, t.adaptive, :].astype(t.W.dtype)                 # (B, M, N)
-    sdel = delay_lines(s, t.tau_min, t.n_taps_line)                 # (B,T,M,N)
-    B, T, M, N = sdel.shape
+    B = signals.shape[0]
+    N = t.n_samples
     D = t.n_directions
+    M = t.n_mics
     acc_dtype = jnp.promote_types(t.W.dtype, jnp.float32)
-    # precision=HIGHEST: keep full input precision in the MXU passes (the
-    # default silently truncates operands to bf16); explicit bf16 speed mode
-    # is selected by building tables with cfg.matmul_dtype="bfloat16".
+    # Build the delay lines in (T, M, B, N) layout so the contraction is one
+    # plain (D, T*M) @ (T*M, B*N) matmul — the shape XLA tiles best — with
+    # no large transposes on either side.
+    s_mbn = signals[:, t.adaptive, :].astype(t.W.dtype).transpose(1, 0, 2)
+    sdel = delay_lines(s_mbn, t.tau_min, t.n_taps_line,
+                       stack_axis=0)                                # (T,M,B,N)
+    T = sdel.shape[0]
+    # The default matmul precision silently truncates operands to bf16;
+    # tables carry an explicit precision ("highest" for the exactness
+    # gates, "high"/"default" as faster quality points — see Config).
     beams = jax.lax.dot_general(
-        t.W.reshape(D, T * M), sdel.reshape(B, T * M, N),
-        ((( 1,), (1,)), ((), ())),
+        t.W.reshape(D, T * M), sdel.reshape(T * M, B * N),
+        ((( 1,), (0,)), ((), ())),
         preferred_element_type=acc_dtype,
-        precision=jax.lax.Precision.HIGHEST,
-    )                                                               # (D, B, N)
-    beams = beams.transpose(1, 0, 2)                                # (B, D, N)
-    beams = _apply_corrections(beams.astype(acc_dtype),
-                               signals[:, t.adaptive, :].astype(acc_dtype), t)
+        precision=t.lax_precision,
+    ).reshape(D, B, N)
+    beams = _apply_corrections_dbn(
+        beams, signals[:, t.adaptive, :].astype(acc_dtype), t)
     if mean_power:
         beams = beams / jnp.asarray(M, acc_dtype)
-        power = jnp.mean(beams * beams, axis=-1)                    # (B, D)
-        power = power.reshape(B, t.res_x, t.res_y)
+        power = jnp.mean(beams * beams, axis=-1)                    # (D, B)
+        power = power.T.reshape(B, t.res_x, t.res_y)
         return power[0] if squeeze else power
+    beams = beams.transpose(1, 0, 2)                                # (B, D, N)
     return beams[0] if squeeze else beams
 
 
@@ -404,7 +435,7 @@ def miso_beam(signals: jax.Array, t: SteeringTables,
     Wd = jax.lax.dynamic_index_in_dim(t.W, direction, 0, keepdims=False)
     G = jnp.einsum("tm,bmn->btn", Wd.astype(jnp.float32),
                    s.astype(jnp.float32),
-                   precision=jax.lax.Precision.HIGHEST)             # (B, T, N)
+                   precision=t.lax_precision)                       # (B, T, N)
     N = t.n_samples
     beam = jnp.zeros((signals.shape[0], N), jnp.float32)
     for ti in range(t.n_taps_line):

@@ -33,7 +33,8 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _power_kernel(w_ref, sdel_ref, corr_ref, out_ref, *, inv_n, inv_len, n_pad):
+def _power_kernel(w_ref, sdel_ref, corr_ref, out_ref, *, inv_n, inv_len,
+                  n_pad, precision):
     """One (batch, direction-tile) grid cell.
 
     w_ref:    (TILE_D, K)   delay-line weights for this direction tile
@@ -43,7 +44,7 @@ def _power_kernel(w_ref, sdel_ref, corr_ref, out_ref, *, inv_n, inv_len, n_pad):
     """
     acc = jnp.dot(
         w_ref[:], sdel_ref[:], preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
     acc = acc - corr_ref[:]
     acc = acc * inv_n
@@ -111,6 +112,11 @@ class FusedBeamformer:
             inv_n=np.float32(1.0 / t.n_mics),
             inv_len=np.float32(1.0 / N),
             n_pad=self.NP - N,
+            # Mosaic supports only DEFAULT/HIGHEST dot precision; "high"
+            # falls back to the exact 6-pass mode inside the kernel.
+            precision=(jax.lax.Precision.DEFAULT
+                       if t.precision == "default"
+                       else jax.lax.Precision.HIGHEST),
         )
         power = pl.pallas_call(
             kernel,
