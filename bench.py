@@ -33,13 +33,16 @@ def main() -> None:
     frames_dev = jax.device_put(rng.standard_normal(
         (B, cfg0.n_microphones, cfg0.n_samples)).astype(np.float32))
 
-    def timed(fn, n_iter=8):
-        fn(frames_dev).block_until_ready()          # compile + warm
+    def timed(fn, n_iter=12):
+        # Sync with a 4-byte host read: on this backend block_until_ready
+        # can acknowledge before execution finishes for small programs, and
+        # a full-output transfer would time the tunnel, not the chip.
+        np.asarray(fn(frames_dev)[0, 0, 0])          # compile + warm
         t0 = time.perf_counter()
         out = None
         for _ in range(n_iter):
             out = fn(frames_dev)
-        out.block_until_ready()
+        np.asarray(out[0, 0, 0])
         return (B * n_iter) / (time.perf_counter() - t0)
 
     ladder = {}

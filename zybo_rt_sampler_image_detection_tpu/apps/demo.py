@@ -158,6 +158,53 @@ def cmd_emulate(args):
         s.close()
 
 
+def cmd_sensorfusion(args):
+    """Fused live demo (``main.pyx:669-736`` mimo + ``record_sensorfusion``):
+    camera -> YOLO tracker, receiver -> heatmap, fused by the decider; the
+    composited frames go to an mp4 (and a window unless --headless)."""
+    import queue as _q
+
+    from ..models.detect import YoloDetector
+    from ..models.yolo import YoloConfig
+    from ..utils.viz import ArrayCapture, ArrayDisplay, Viewer
+    from .web import SyntheticCamera
+
+    p = _make_pipeline(args)
+    p.connect()
+    p.start_heatmap()
+    if args.camera < 0:
+        cam = SyntheticCamera((240, 320))
+    else:
+        from ..utils.viz import _CvCapture
+        cam = _CvCapture(args.camera)
+    p.start_camera(cam)
+    det = YoloDetector(model_path=args.weights,
+                       cfg=YoloConfig(input_size=224, width_mult=0.5))
+    p.start_tracker(det)
+
+    frames_wanted = args.frames or 30
+    disp = ArrayDisplay(keep=frames_wanted)
+    viewer = Viewer(cb=lambda h, v: p.steer_cartesian_degree(h, v),
+                    window=(args.width, args.height), display=disp)
+
+    class Running:
+        value = 1
+
+    viewer.loop(p.q_power, Running(), q_viewer=p.q_viewer,
+                q_inference=p.q_inference, max_frames=frames_wanted)
+    p.stop()
+    if args.out:
+        import cv2
+        h, w = disp.frames[0].shape[:2]
+        vw = cv2.VideoWriter(args.out, cv2.VideoWriter_fourcc(*"mp4v"),
+                             15, (w, h))
+        for f in disp.frames:
+            vw.write(f)
+        vw.release()
+        print(f"wrote {len(disp.frames)} fused frames -> {args.out}")
+    print("metrics:", p.report())
+
+
 def cmd_web(args):
     from .web import serve
     serve(replay=args.replay, port=args.http_port, udp_port=args.port,
@@ -196,6 +243,17 @@ def main(argv=None):
     p.add_argument("--once", action="store_true")
     p.add_argument("--port", type=int, default=None)
     p.set_defaults(fn=cmd_emulate)
+
+    p = sub.add_parser("sensorfusion",
+                       help="fused camera+YOLO+heatmap demo -> mp4")
+    _add_common(p)
+    p.add_argument("--camera", type=int, default=-1,
+                   help="camera index (-1 = synthetic)")
+    p.add_argument("--weights", default=None, help="detector weights (.pkl)")
+    p.add_argument("--out", default="sensorfusion.mp4")
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--height", type=int, default=360)
+    p.set_defaults(fn=cmd_sensorfusion)
 
     p = sub.add_parser("web", help="MJPEG web app")
     _add_common(p)

@@ -1,3 +1,3 @@
-from . import yolo, nms, detect, sort, tracking, train
+from . import yolo, nms, detect, sort, tracking, train, runner
 
-__all__ = ["yolo", "nms", "detect", "sort", "tracking", "train"]
+__all__ = ["yolo", "nms", "detect", "sort", "tracking", "train", "runner"]

@@ -150,6 +150,103 @@ class SmoothedTracker:
         return tracks, dets
 
 
+def process_video(video_path, model_path=None, rec=True, detector=None,
+                  out_path="output4.mp4", show=False, max_frames=None):
+    """Offline hysteresis-only variant (yolo_smooth_tracking.py:72-170):
+    draw high-confidence detections; revive candidates by correlation when
+    no valid detection exists.  Requires cv2 for video IO."""
+    import cv2
+
+    if detector is None:
+        from .detect import YoloDetector
+        detector = YoloDetector(model_path)
+    cap = cv2.VideoCapture(video_path)
+    out = None
+    if rec:
+        w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) or 640
+        h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)) or 480
+        fps = int(cap.get(cv2.CAP_PROP_FPS)) or 25
+        out = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                              fps, (w, h))
+    confh, confl = 0.7, 0.3
+    prev_frame, prev_detections = None, []
+    n = 0
+    while cap.isOpened() and (max_frames is None or n < max_frames):
+        ok, frame = cap.read()
+        if not ok:
+            break
+        n += 1
+        detections = detector.get_detections(frame, conf_threshold=confl)
+        valid = [d for d in detections if d[4] > confh]
+        candidates = [d for d in detections if confl < d[4] <= confh]
+        if not valid and prev_frame is not None:
+            revive_candidates(candidates, prev_detections, prev_frame,
+                              frame, confh)
+        prev_detections = [d for d in detections if d[4] >= confh] or valid
+        prev_frame = frame.copy()
+        for box in (valid or [c for c in candidates if c[4] >= confh]):
+            x1, y1, x2, y2 = map(int, box[:4])
+            cv2.rectangle(frame, (x1, y1), (x2, y2), (0, 255, 0), 2)
+            cv2.putText(frame, f"{box[4]:.2f}", (x1, y1 - 10),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.6, (0, 255, 0), 2)
+        if out is not None:
+            out.write(frame)
+        if show:
+            cv2.imshow("Frame", frame)
+            if cv2.waitKey(1) == 27:
+                break
+    cap.release()
+    if out is not None:
+        out.release()
+    return n
+
+
+def process_video_track(video_path, model_path=None, rec=True, detector=None,
+                        out_path="output3.mp4", show=False, max_frames=None):
+    """Offline SORT-tracked variant (yolo_smooth_tracking.py:173-273)."""
+    import cv2
+
+    if detector is None:
+        from .detect import YoloDetector
+        detector = YoloDetector(model_path)
+    st = SmoothedTracker(detector, confh=0.65, confl=0.3)
+    cap = cv2.VideoCapture(video_path)
+    out = None
+    if rec:
+        w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) or 640
+        h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)) or 480
+        fps = int(cap.get(cv2.CAP_PROP_FPS)) or 30
+        out = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                              fps, (w, h))
+    n = 0
+    while cap.isOpened() and (max_frames is None or n < max_frames):
+        ok, frame = cap.read()
+        if not ok:
+            break
+        n += 1
+        tracks, dets = st.step(frame)
+        for tr in tracks:
+            x1, y1, x2, y2, tid = tr.astype(int)
+            cv2.rectangle(frame, (x1, y1), (x2, y2), (0, 255, 0), 1)
+            conf = 0.0
+            for det in dets:
+                if compute_iou([x1, y1, x2, y2], det[:4]) > 0.5:
+                    conf = float(det[4])
+                    break
+            cv2.putText(frame, f"Conf:{conf:.2f}", (x1, y1 - 10),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.6, (0, 255, 0), 2)
+        if out is not None:
+            out.write(frame)
+        if show:
+            cv2.imshow("Frame", frame)
+            if cv2.waitKey(1) == 27:
+                break
+    cap.release()
+    if out is not None:
+        out.release()
+    return n
+
+
 def process_video_track_boxes_only(frame_queue, output_queue, stream=False,
                                    show=False, model_path=None,
                                    detector=None, max_frames=None):
