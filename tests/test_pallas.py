@@ -15,7 +15,7 @@ def test_fused_matches_xla(tiny_cfg, rng, algorithm):
     frames = np.stack([synth_frame(tiny_cfg, rng) for _ in range(2)])
     tables = beamform.make_tables(tiny_cfg, algorithm)
     ref = np.asarray(beamform.steered_power(frames, tables))
-    fused = FusedBeamformer(tables, tile_d=8)
+    fused = FusedBeamformer(tables, tile_d=8, chunk_b=2)
     got = np.asarray(fused(frames))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-9)
 
@@ -23,7 +23,7 @@ def test_fused_matches_xla(tiny_cfg, rng, algorithm):
 def test_fused_single_frame(tiny_cfg, rng):
     frame = synth_frame(tiny_cfg, rng)
     tables = beamform.make_lerp_tables(tiny_cfg)
-    fused = FusedBeamformer(tables, tile_d=8)
+    fused = FusedBeamformer(tables, tile_d=8, chunk_b=2)
     got = np.asarray(fused(frame))
     ref = np.asarray(beamform.steered_power(frame, tables))
     assert got.shape == (tiny_cfg.max_res_x, tiny_cfg.max_res_y)

@@ -1,15 +1,21 @@
 """Fused Pallas TPU kernel for the steered-power (MIMO) heatmap.
 
 One launch computes every (azimuth, elevation) power pixel for a batch of
-frames: the delay-line weight matrix streams HBM->VMEM tile by tile, each
-tile is contracted against the resident delay-line signal block on the MXU,
-boundary corrections are subtracted, and the per-direction mean power is
-reduced in-register — the (B, D, N) beam tensor never touches HBM.
+frames with near-minimal HBM traffic:
 
-This replaces the reference's serial per-direction C loop
-(``pad_and_sum.c:114-142``) and its AVX2 inner vectorization
-(``convolve_and_sum.c:92-128``): the 1824-direction axis the C walked one
-pixel at a time becomes the matmul M-dimension of a systolic-array pass.
+* the mic signals for a frame chunk stay **resident in VMEM** and the
+  delay-line shifts are materialized on-chip (static slice + concat), so
+  the (T*M, B*N) delay-line tensor never exists in HBM;
+* the weight matrix streams once per frame chunk and is contracted on the
+  MXU tap-pair by tap-pair (K packed to >=128 per pass);
+* boundary corrections arrive as a narrow (B, D, 128) tensor and are
+  subtracted in-register;
+* the per-direction mean power reduces in-register — the (D, B*N) beam
+  tensor never exists in HBM either.
+
+Total traffic per 512-frame batch is ~0.4 GB versus ~4 GB for the unfused
+XLA path — this is what turns the serial per-direction C loop of
+``pad_and_sum.c:114-142`` into a compute-bound systolic-array program.
 
 The exact XLA formulation in :mod:`.beamform` is the ground truth; this
 kernel must (and is tested to) match it.
@@ -26,31 +32,61 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .beamform import SteeringTables, delay_lines, _apply_corrections
+from .beamform import SteeringTables, _apply_corrections
+
+CORR_COLS = 128          # boundary corrections live in the first N columns
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _power_kernel(w_ref, sdel_ref, corr_ref, out_ref, *, inv_n, inv_len,
-                  n_pad, precision):
-    """One (batch, direction-tile) grid cell.
+def _shift3(x3: jax.Array, tau: int) -> jax.Array:
+    """Zero-fill shift along the last (time) axis of (M, Bc, N) — the C
+    ``pad_delay`` semantics per frame."""
+    M, Bc, N = x3.shape
+    if tau == 0:
+        return x3
+    if tau >= N or tau <= -N:
+        return jnp.zeros_like(x3)
+    if tau > 0:
+        z = jnp.zeros((M, Bc, tau), x3.dtype)
+        return jnp.concatenate([z, x3[:, :, : N - tau]], axis=2)
+    z = jnp.zeros((M, Bc, -tau), x3.dtype)
+    return jnp.concatenate([x3[:, :, -tau:], z], axis=2)
 
-    w_ref:    (TILE_D, K)   delay-line weights for this direction tile
-    sdel_ref: (K, NP)       delay-line signal block for this batch frame
-    corr_ref: (TILE_D, NP)  dense boundary corrections (to subtract)
-    out_ref:  (1, TILE_D)   mean power per direction
+
+def _power_kernel(w_ref, s_ref, corr_ref, out_ref, sdel_ref, *, T, M,
+                  tau_min, Bc, N, cc, inv_n, inv_len, precision):
+    """One (frame-chunk, direction-tile) grid cell.
+
+    w_ref:    (TILE_D, T*M)   delay-line weights for this direction tile
+    s_ref:    (M, Bc, N)      resident signal chunk
+    corr_ref: (TILE_D, Bc, cc) boundary corrections (to subtract)
+    out_ref:  (Bc, TILE_D)    mean power per (frame, direction)
+    sdel_ref: (T*M, Bc, N)    VMEM scratch — the on-chip delay lines,
+              built once per frame chunk (first direction tile) and reused
+              by the remaining ~D/TILE_D tiles; it never exists in HBM.
     """
-    acc = jnp.dot(
-        w_ref[:], sdel_ref[:], preferred_element_type=jnp.float32,
-        precision=precision,
-    )
-    acc = acc - corr_ref[:]
-    acc = acc * inv_n
-    # padded tail columns of sdel are zero and corr is zero there, so they
-    # contribute nothing; divide by the true N, not NP.
-    out_ref[0, :] = jnp.sum(acc * acc, axis=1) * inv_len
+    @pl.when(pl.program_id(1) == 0)
+    def _build_delay_lines():
+        x3 = s_ref[:]
+        for t in range(T):
+            sdel_ref[pl.ds(t * M, M), :] = _shift3(
+                x3, tau_min + t).reshape(M, Bc * N)
+
+    tile_d = w_ref.shape[0]
+    acc = jax.lax.dot_general(                        # one (TILE_D, K) @
+        w_ref[:], sdel_ref[:], (((1,), (0,)), ((), ())),  # (K, Bc*N) matmul
+        preferred_element_type=jnp.float32, precision=precision)
+    corr = corr_ref[:].astype(jnp.float32)
+    if cc < N:   # extend with zeros; Mosaic has no scatter-add
+        corr = jnp.concatenate(
+            [corr, jnp.zeros(corr.shape[:2] + (N - cc,), jnp.float32)],
+            axis=2)
+    beams = (acc.reshape(tile_d, Bc, N) - corr) * inv_n
+    power = jnp.sum(beams * beams, axis=2) * inv_len  # (TILE_D, Bc)
+    out_ref[:, :] = power.T
 
 
 class FusedBeamformer:
@@ -61,31 +97,41 @@ class FusedBeamformer:
         fused = FusedBeamformer(tables)
         power = fused(frames)            # (B, X, Y) or (X, Y)
 
-    Falls back to the XLA path automatically when the tile working set would
-    not fit VMEM (`~pltpu` budget) or when running on a non-TPU backend
-    without ``interpret`` support.
+    ``chunk_b`` frames are processed per grid step with the signal block
+    resident in VMEM.  Falls back to the XLA path when the working set
+    would not fit VMEM.
     """
 
-    def __init__(self, t: SteeringTables, tile_d: int = 128,
+    def __init__(self, t: SteeringTables, tile_d: int = 256,
+                 chunk_b: Optional[int] = None,
                  interpret: Optional[bool] = None):
         self.t = t
         D, T, M = t.W.shape
         N = t.n_samples
-        self.K = T * M
-        self.KP = _round_up(self.K, 128)
-        self.NP = _round_up(N, 128)
+        if chunk_b is None:
+            # bf16 scratch fits twice the frames of f32 in the same VMEM
+            chunk_b = 16 if np.dtype(np.asarray(t.W).dtype).itemsize == 2 \
+                else 8
+        self.T, self.M, self.N = T, M, N
         self.DP = _round_up(D, tile_d)
         self.tile_d = tile_d
-        w = np.zeros((self.DP, self.KP), dtype=np.asarray(t.W).dtype)
-        w[:D, : self.K] = np.asarray(t.W).reshape(D, self.K)
+        self.chunk_b = chunk_b
+        self.cc = min(CORR_COLS, N)
+        w = np.zeros((self.DP, T * M), dtype=np.asarray(t.W).dtype)
+        w[:D] = np.asarray(t.W).reshape(D, T * M)
         self.W2 = jnp.asarray(w)
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self.interpret = interpret
-        # VMEM working set: W tile (double-buffered) + sdel + corr + acc.
-        vmem = (2 * tile_d * self.KP + self.KP * self.NP
-                + 2 * tile_d * self.NP) * 4
-        self.fits_vmem = vmem < 14 * 1024 * 1024
+        itemsize = np.dtype(np.asarray(t.W).dtype).itemsize
+        vmem = (2 * tile_d * T * M * itemsize          # W tile (dbl buf)
+                + M * chunk_b * N * itemsize           # resident signals
+                + T * M * chunk_b * N * itemsize       # delay-line scratch
+                + 2 * tile_d * chunk_b * N * 4         # acc + beams
+                + 2 * tile_d * chunk_b * self.cc * 4)  # corr
+        corr_fits = t.Wc is None or t.Wc.shape[2] <= self.cc
+        self.vmem_bytes = vmem
+        self.fits_vmem = corr_fits and vmem < 28 * 1024 * 1024
         self._call = jax.jit(self._forward)
 
     def _forward(self, signals: jax.Array) -> jax.Array:
@@ -94,26 +140,34 @@ class FusedBeamformer:
         if squeeze:
             signals = signals[None]
         B = signals.shape[0]
-        N, D = t.n_samples, t.n_directions
-        s = signals[:, t.adaptive, :]
-        sdel = delay_lines(s.astype(self.W2.dtype), t.tau_min, t.n_taps_line)
-        sdel = sdel.reshape(B, self.K, N)
-        sdel = jnp.pad(sdel, ((0, 0), (0, self.KP - self.K),
-                              (0, self.NP - N)))
-        # Dense boundary corrections (zeros for pad/convolve/truncated).
-        corr = -_apply_corrections(
-            jnp.zeros((B, D, N), jnp.float32), s.astype(jnp.float32), t
-        )
-        corr = jnp.pad(corr, ((0, 0), (0, self.DP - D), (0, self.NP - N)))
+        Bc = self.chunk_b
+        if B % Bc:
+            pad_b = Bc - B % Bc
+            signals = jnp.concatenate(
+                [signals, jnp.zeros((pad_b,) + signals.shape[1:],
+                                    signals.dtype)], axis=0)
+        BP = signals.shape[0]
+        N, D, M, T = self.N, t.n_directions, self.M, self.T
 
-        grid = (B, self.DP // self.tile_d)
+        s = signals[:, t.adaptive, :].astype(self.W2.dtype)   # (BP, M, N)
+        s_chunks = s.reshape(BP // Bc, Bc, M, N).transpose(0, 2, 1, 3)
+
+        # narrow dense corrections (zeros when the algorithm has none)
+        corr = -_apply_corrections(
+            jnp.zeros((BP, D, self.cc), jnp.float32),
+            signals[:, t.adaptive, :].astype(jnp.float32), t)
+        corr = jnp.pad(corr, ((0, 0), (0, self.DP - D), (0, 0)))
+        corr = corr.reshape(BP // Bc, Bc, self.DP, self.cc) \
+                   .transpose(0, 2, 1, 3)             # (chunks, DP, Bc, cc)
+
+        grid = (BP // Bc, self.DP // self.tile_d)
         kernel = functools.partial(
             _power_kernel,
+            T=T, M=M,
+            tau_min=t.tau_min,
+            Bc=Bc, N=N, cc=self.cc,
             inv_n=np.float32(1.0 / t.n_mics),
             inv_len=np.float32(1.0 / N),
-            n_pad=self.NP - N,
-            # Mosaic supports only DEFAULT/HIGHEST dot precision; "high"
-            # falls back to the exact 6-pass mode inside the kernel.
             precision=(jax.lax.Precision.DEFAULT
                        if t.precision == "default"
                        else jax.lax.Precision.HIGHEST),
@@ -122,27 +176,32 @@ class FusedBeamformer:
             kernel,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((self.tile_d, self.KP), lambda b, d: (d, 0),
+                pl.BlockSpec((self.tile_d, T * M), lambda b, d: (d, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((None, self.KP, self.NP), lambda b, d: (b, 0, 0),
+                pl.BlockSpec((None, self.M, Bc, N), lambda b, d: (b, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((None, self.tile_d, self.NP),
-                             lambda b, d: (b, d, 0),
+                pl.BlockSpec((None, self.tile_d, Bc, self.cc),
+                             lambda b, d: (b, d, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((None, 1, self.tile_d),
+            out_specs=pl.BlockSpec((None, Bc, self.tile_d),
                                    lambda b, d: (b, 0, d),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((B, 1, self.DP), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((BP // Bc, Bc, self.DP),
+                                           jnp.float32),
+            scratch_shapes=[pltpu.VMEM((T * M, Bc * N), self.W2.dtype)],
             interpret=self.interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
             cost_estimate=pl.CostEstimate(
-                flops=2 * B * self.DP * self.KP * self.NP,
-                bytes_accessed=4 * (B * self.DP * self.KP
-                                    + B * self.KP * self.NP + B * self.DP),
+                flops=2 * BP * self.DP * T * M * N,
+                bytes_accessed=4 * (BP // Bc * self.DP * T * M
+                                    + BP * M * N + BP * self.DP),
                 transcendentals=0,
             ),
-        )(self.W2, sdel, corr)
-        power = power[:, 0, :D].reshape(B, t.res_x, t.res_y)
+        )(self.W2, s_chunks, corr)
+        power = power.reshape(BP, self.DP)[:B, :D]
+        power = power.reshape(B, t.res_x, t.res_y)
         return power[0] if squeeze else power
 
     def __call__(self, signals: jax.Array) -> jax.Array:
