@@ -28,7 +28,7 @@ def _add_common(p):
                    help="bind loopback (replay/emulator mode)")
     p.add_argument("--algorithm", default="lerp",
                    choices=["pad", "lerp", "convolve", "hybrid",
-                            "truncated", "fft"])
+                            "truncated", "fft", "mvdr"])
     p.add_argument("--backend", default="auto",
                    choices=["auto", "python", "native"])
     p.add_argument("--headless", action="store_true",
@@ -49,6 +49,16 @@ def _make_pipeline(args, audio_sink="null", audio_path=None) -> Pipeline:
         tables = freq.make_freq_tables(cfg)
         power_fn = lambda f: freq.fft_steered_power(f, tables)
         algorithm = "lerp"          # miso still needs time-domain tables
+    elif algorithm == "mvdr":
+        from ..ops import freq
+        tables = freq.make_freq_tables(cfg, 100.0)
+        state = {"cov": freq.init_covariance(tables)}
+
+        def power_fn(f, _t=tables, _s=state):
+            _s["cov"] = freq.update_covariance(_s["cov"], f, _t)
+            return freq.mvdr_power(_s["cov"], _t)
+
+        algorithm = "lerp"
     return Pipeline(cfg, algorithm=algorithm, replay_mode=args.replay,
                     backend=args.backend, audio_sink=audio_sink,
                     audio_path=audio_path, power_fn=power_fn)
