@@ -456,6 +456,31 @@ def miso_beam(signals: jax.Array, t: SteeringTables,
     return beam[0] if squeeze else beam
 
 
+def make_miso_tables(cfg: Config, azimuth_deg: float,
+                     elevation_deg: float) -> SteeringTables:
+    """Single-direction pad tables from the angle delay model — parity with
+    ``load_coefficients_pad2``/``miso_pad2`` (``pad_and_sum.c:77-92,153``),
+    which steers with a dedicated per-mic whole-sample table computed by
+    ``calculate_delay_miso`` (``directions.pyx:159-187``).  Use with
+    ``miso_beam(signals, tables, 0)``."""
+    delays = geometry.calculate_delay_miso(cfg, azimuth_deg, elevation_deg)
+    active, _ = geometry.active_microphones(cfg)
+    whole = delays[active].reshape(1, 1, -1)
+    one = dataclasses.replace(
+        cfg.replace(max_res_x=1, max_res_y=1))
+    return make_pad_tables(one, whole)
+
+
+def miso_beams_multi(signals: jax.Array, t: SteeringTables,
+                     directions: jax.Array) -> jax.Array:
+    """Beams for several steering directions at once, (B, K, N) — the
+    batched form the tunnel-latency-free hardware path prefers (one device
+    program instead of K dispatches)."""
+    fn = lambda d: miso_beam(signals, t, d)
+    out = jax.vmap(fn)(jnp.asarray(directions))
+    return jnp.moveaxis(out, 0, -3) if out.ndim > 2 else out
+
+
 def steer_index(cfg: Config, azimuth_deg: float, elevation_deg: float) -> int:
     """Map (azimuth, elevation) degrees in [-90, 90] to a flat grid index.
 
