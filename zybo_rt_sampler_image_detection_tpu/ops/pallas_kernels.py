@@ -32,7 +32,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .beamform import SteeringTables, _apply_corrections
+from .beamform import SteeringTables
 
 CORR_COLS = 128          # boundary corrections live in the first N columns
 
@@ -152,13 +152,22 @@ class FusedBeamformer:
         s = signals[:, t.adaptive, :].astype(self.W2.dtype)   # (BP, M, N)
         s_chunks = s.reshape(BP // Bc, Bc, M, N).transpose(0, 2, 1, 3)
 
-        # narrow dense corrections (zeros when the algorithm has none)
-        corr = -_apply_corrections(
-            jnp.zeros((BP, D, self.cc), jnp.float32),
-            signals[:, t.adaptive, :].astype(jnp.float32), t)
-        corr = jnp.pad(corr, ((0, 0), (0, self.DP - D), (0, 0)))
-        corr = corr.reshape(BP // Bc, Bc, self.DP, self.cc) \
-                   .transpose(0, 2, 1, 3)             # (chunks, DP, Bc, cc)
+        # narrow dense corrections, computed straight into the kernel's
+        # (chunks, DP, Bc, cc) layout — no transpose of the big tensor
+        if t.Wc is None:
+            corr = jnp.zeros((BP // Bc, self.DP, Bc, self.cc), jnp.float32)
+        else:
+            sj = jnp.stack(
+                [signals[:, t.adaptive, j].astype(jnp.float32)
+                 for j in t.corr_js], axis=1)          # (BP, J, M)
+            sjc = sj.reshape(BP // Bc, Bc, len(t.corr_js), M)
+            wc = jnp.pad(t.Wc.astype(jnp.float32),
+                         ((0, 0), (0, self.DP - D), (0, 0), (0, 0)))
+            corr = jnp.einsum("jdtm,cbjm->cdbt", wc, sjc,
+                              precision=t.lax_precision)
+            corr = jnp.pad(
+                corr, ((0, 0), (0, 0), (0, 0),
+                       (0, self.cc - corr.shape[-1])))
 
         grid = (BP // Bc, self.DP // self.tile_d)
         kernel = functools.partial(
