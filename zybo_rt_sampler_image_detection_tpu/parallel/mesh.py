@@ -92,3 +92,10 @@ def sharded_steered_power(mesh: Mesh, t: SteeringTables):
         in_shardings=NamedSharding(mesh, P("data", None, None)),
         out_shardings=NamedSharding(mesh, P("data", None, None)),
     )
+
+
+# Multi-chip note: the fused Pallas kernel is single-device; across a mesh
+# the XLA formulation above shards cleanly (W over `model`, frames over
+# `data`) with SPMD-inserted collectives.  Running the Pallas kernel per
+# shard under shard_map is a planned follow-up (requires the kernel
+# invocation to be trace-functional in its table arguments).
