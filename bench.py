@@ -59,8 +59,14 @@ def main() -> None:
         tables = beamform.make_tables(cfg, "lerp", cache=False)
         best = timed(jax.jit(lambda f, t=tables: beamform.steered_power(f, t)))
         fused = FusedBeamformer(tables)
-        if fused.fits_vmem and name != "high":       # Mosaic lacks HIGH
-            best = max(best, timed(fused._call))
+        if fused.fits_vmem:
+            rate = timed(fused._call)
+            if name == "high":
+                # the fused "high" is a bf16x3 emulation (~6e-4 rel, vs
+                # 1.6e-5 for XLA's HIGH) — report it as its own rung
+                ladder["high_fused_3pass"] = rate
+            else:
+                best = max(best, rate)
         ladder[name] = best
 
     value = ladder["high"]

@@ -58,28 +58,42 @@ def _shift3(x3: jax.Array, tau: int) -> jax.Array:
 
 
 def _power_kernel(w_ref, s_ref, corr_ref, out_ref, sdel_ref, *, T, M,
-                  tau_min, Bc, N, cc, inv_n, inv_len, precision):
+                  tau_min, Bc, N, cc, inv_n, inv_len, precision,
+                  three_pass):
     """One (frame-chunk, direction-tile) grid cell.
 
-    w_ref:    (TILE_D, T*M)   delay-line weights for this direction tile
-    s_ref:    (M, Bc, N)      resident signal chunk
+    w_ref:    (P, TILE_D, T*M) delay-line weights for this direction tile
+              (P=1, or P=2 hi/lo bf16 planes in three-pass mode)
+    s_ref:    (P, M, Bc, N)   resident signal chunk
     corr_ref: (TILE_D, Bc, cc) boundary corrections (to subtract)
     out_ref:  (Bc, TILE_D)    mean power per (frame, direction)
-    sdel_ref: (T*M, Bc, N)    VMEM scratch — the on-chip delay lines,
+    sdel_ref: (P, T*M, Bc, N) VMEM scratch — the on-chip delay lines,
               built once per frame chunk (first direction tile) and reused
               by the remaining ~D/TILE_D tiles; it never exists in HBM.
+
+    ``three_pass`` emulates f32 precision from bf16 planes (Mosaic lacks
+    Precision.HIGH): x = hi + lo => W@S ≈ Whi@Shi + Whi@Slo + Wlo@Shi.
     """
+    n_planes = 2 if three_pass else 1
+
     @pl.when(pl.program_id(1) == 0)
     def _build_delay_lines():
-        x3 = s_ref[:]
-        for t in range(T):
-            sdel_ref[pl.ds(t * M, M), :] = _shift3(
-                x3, tau_min + t).reshape(M, Bc * N)
+        for pidx in range(n_planes):
+            x3 = s_ref[pidx]
+            for t in range(T):
+                sdel_ref[pidx, pl.ds(t * M, M), :] = _shift3(
+                    x3, tau_min + t).reshape(M, Bc * N)
 
-    tile_d = w_ref.shape[0]
-    acc = jax.lax.dot_general(                        # one (TILE_D, K) @
-        w_ref[:], sdel_ref[:], (((1,), (0,)), ((), ())),  # (K, Bc*N) matmul
-        preferred_element_type=jnp.float32, precision=precision)
+    def dot(wp, sp):
+        return jax.lax.dot_general(
+            w_ref[wp], sdel_ref[sp], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+
+    tile_d = w_ref.shape[1]
+    if three_pass:
+        acc = ((dot(0, 1) + dot(1, 0)) + dot(0, 0))
+    else:
+        acc = dot(0, 0)
     corr = corr_ref[:].astype(jnp.float32)
     if cc < N:   # extend with zeros; Mosaic has no scatter-add
         corr = jnp.concatenate(
@@ -109,25 +123,38 @@ class FusedBeamformer:
         self.t = t
         D, T, M = t.W.shape
         N = t.n_samples
+        w_dtype = np.dtype(np.asarray(t.W).dtype)
+        # "high" from f32 tables: emulate 3-pass f32 with bf16 hi/lo planes
+        self.three_pass = (t.precision == "high" and w_dtype.itemsize == 4)
+        self.n_planes = 2 if self.three_pass else 1
+        self.plane_dtype = jnp.bfloat16 if self.three_pass \
+            else jnp.dtype(w_dtype)
         if chunk_b is None:
             # bf16 scratch fits twice the frames of f32 in the same VMEM
-            chunk_b = 16 if np.dtype(np.asarray(t.W).dtype).itemsize == 2 \
+            chunk_b = 16 if (w_dtype.itemsize == 2 and not self.three_pass) \
                 else 8
         self.T, self.M, self.N = T, M, N
         self.DP = _round_up(D, tile_d)
         self.tile_d = tile_d
         self.chunk_b = chunk_b
         self.cc = min(CORR_COLS, N)
-        w = np.zeros((self.DP, T * M), dtype=np.asarray(t.W).dtype)
-        w[:D] = np.asarray(t.W).reshape(D, T * M)
-        self.W2 = jnp.asarray(w)
+        wf = np.zeros((self.DP, T * M), dtype=w_dtype)
+        wf[:D] = np.asarray(t.W).reshape(D, T * M)
+        if self.three_pass:
+            hi = wf.astype(np.float32).astype(jnp.bfloat16)
+            lo = (wf.astype(np.float32)
+                  - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
+            self.Wp = jnp.stack([jnp.asarray(hi), jnp.asarray(lo)])
+        else:
+            self.Wp = jnp.asarray(wf)[None]            # (1, DP, K)
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self.interpret = interpret
-        itemsize = np.dtype(np.asarray(t.W).dtype).itemsize
-        vmem = (2 * tile_d * T * M * itemsize          # W tile (dbl buf)
-                + M * chunk_b * N * itemsize           # resident signals
-                + T * M * chunk_b * N * itemsize       # delay-line scratch
+        isz = np.dtype(self.plane_dtype).itemsize
+        P = self.n_planes
+        vmem = (2 * P * tile_d * T * M * isz           # W tiles (dbl buf)
+                + P * M * chunk_b * N * isz            # resident signals
+                + P * T * M * chunk_b * N * isz        # delay-line scratch
                 + 2 * tile_d * chunk_b * N * 4         # acc + beams
                 + 2 * tile_d * chunk_b * self.cc * 4)  # corr
         corr_fits = t.Wc is None or t.Wc.shape[2] <= self.cc
@@ -150,8 +177,16 @@ class FusedBeamformer:
         BP = signals.shape[0]
         N, D, M, T = self.N, t.n_directions, self.M, self.T
 
-        s = signals[:, t.adaptive, :].astype(self.W2.dtype)   # (BP, M, N)
-        s_chunks = s.reshape(BP // Bc, Bc, M, N).transpose(0, 2, 1, 3)
+        sf = signals[:, t.adaptive, :]                        # (BP, M, N)
+        if self.three_pass:
+            hi = sf.astype(jnp.float32).astype(jnp.bfloat16)
+            lo = (sf.astype(jnp.float32)
+                  - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            s = jnp.stack([hi, lo], axis=1)                   # (BP, P, M, N)
+        else:
+            s = sf.astype(self.plane_dtype)[:, None]          # (BP, 1, M, N)
+        s_chunks = s.reshape(BP // Bc, Bc, self.n_planes, M, N) \
+                    .transpose(0, 2, 3, 1, 4)    # (chunks, P, M, Bc, N)
 
         # narrow dense corrections, computed straight into the kernel's
         # (chunks, DP, Bc, cc) layout — no transpose of the big tensor
@@ -178,17 +213,21 @@ class FusedBeamformer:
             Bc=Bc, N=N, cc=self.cc,
             inv_n=np.float32(1.0 / t.n_mics),
             inv_len=np.float32(1.0 / N),
-            precision=(jax.lax.Precision.DEFAULT
-                       if t.precision == "default"
-                       else jax.lax.Precision.HIGHEST),
+            precision=(jax.lax.Precision.HIGHEST
+                       if t.precision == "highest" and not self.three_pass
+                       else jax.lax.Precision.DEFAULT),
+            three_pass=self.three_pass,
         )
+        P = self.n_planes
         power = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((self.tile_d, T * M), lambda b, d: (d, 0),
+                pl.BlockSpec((P, self.tile_d, T * M),
+                             lambda b, d: (0, d, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((None, self.M, Bc, N), lambda b, d: (b, 0, 0, 0),
+                pl.BlockSpec((None, P, self.M, Bc, N),
+                             lambda b, d: (b, 0, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((None, self.tile_d, Bc, self.cc),
                              lambda b, d: (b, d, 0, 0),
@@ -199,7 +238,8 @@ class FusedBeamformer:
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((BP // Bc, Bc, self.DP),
                                            jnp.float32),
-            scratch_shapes=[pltpu.VMEM((T * M, Bc * N), self.W2.dtype)],
+            scratch_shapes=[pltpu.VMEM((P, T * M, Bc * N),
+                                       self.plane_dtype)],
             interpret=self.interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024),
@@ -209,7 +249,7 @@ class FusedBeamformer:
                                     + BP * M * N + BP * self.DP),
                 transcendentals=0,
             ),
-        )(self.W2, s_chunks, corr)
+        )(self.Wp, s_chunks, corr)
         power = power.reshape(BP, self.DP)[:B, :D]
         power = power.reshape(B, t.res_x, t.res_y)
         return power[0] if squeeze else power
