@@ -125,3 +125,12 @@ def test_miso_gain():
     beam = np.ones(8, np.float32) * 64.0
     out = audio.miso_gain(beam, n_mics=64, mic_gain=128.0)
     np.testing.assert_allclose(out, 128.0)
+
+
+def test_plot_harness(tmp_path, tiny_cfg, frame):
+    """Offline golden-harness module (plot.py parity) renders a panel."""
+    from zybo_rt_sampler_image_detection_tpu.apps import plot
+
+    maps = plot.compute_heatmaps(tiny_cfg, frame, ["pad", "fft"])
+    assert set(maps) == {"pad", "fft"}
+    assert maps["pad"].shape == (tiny_cfg.max_res_x, tiny_cfg.max_res_y)

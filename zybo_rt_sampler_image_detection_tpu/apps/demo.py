@@ -13,7 +13,6 @@ Examples::
 from __future__ import annotations
 
 import argparse
-import queue
 import sys
 import time
 
@@ -172,11 +171,9 @@ def cmd_sensorfusion(args):
     """Fused live demo (``main.pyx:669-736`` mimo + ``record_sensorfusion``):
     camera -> YOLO tracker, receiver -> heatmap, fused by the decider; the
     composited frames go to an mp4 (and a window unless --headless)."""
-    import queue as _q
-
     from ..models.detect import YoloDetector
     from ..models.yolo import YoloConfig
-    from ..utils.viz import ArrayCapture, ArrayDisplay, Viewer
+    from ..utils.viz import ArrayDisplay, Viewer
     from .web import SyntheticCamera
 
     p = _make_pipeline(args)

@@ -9,7 +9,6 @@ NMS are one jitted device program; the host sees a fixed-size table.
 from __future__ import annotations
 
 import pickle
-from functools import partial
 from typing import List, Optional
 
 import jax

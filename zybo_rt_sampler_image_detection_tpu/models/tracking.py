@@ -18,7 +18,7 @@ TM_CCOEFF_NORMED implementation.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional
 
 import numpy as np
 

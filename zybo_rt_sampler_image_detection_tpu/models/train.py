@@ -11,8 +11,7 @@ ICI, no hand-written collectives.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
