@@ -30,3 +30,19 @@ def test_mesh_uses_all_devices():
     assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
     m = pmesh.make_mesh()
     assert m.devices.size == 8
+
+
+@pytest.mark.parametrize("shape", [(4, 2), (2, 4)])
+def test_sharded_fused_matches_single(tiny_cfg, rng, shape):
+    """The Pallas kernel under shard_map (data x model) must equal the
+    single-device exact path."""
+    n_data, n_model = shape
+    frames = np.stack([synth_frame(tiny_cfg, rng) for _ in range(8)])
+    tables = beamform.make_lerp_tables(tiny_cfg)
+    ref = np.asarray(beamform.steered_power(frames, tables))
+
+    m = pmesh.make_mesh(n_data, n_model)
+    st = pmesh.shard_tables(tables, m)
+    fn = pmesh.sharded_fused_power(m, st, tile_d=8, chunk_b=2)
+    got = np.asarray(fn(frames))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-10)

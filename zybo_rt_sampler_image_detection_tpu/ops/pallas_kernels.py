@@ -104,6 +104,111 @@ def _power_kernel(w_ref, s_ref, corr_ref, out_ref, sdel_ref, *, T, M,
     out_ref[:, :] = power.T
 
 
+
+class _Meta:
+    """Static parameters of a fused launch (hashable closure for jit)."""
+
+    def __init__(self, *, T, M, N, D, tile_d, chunk_b, cc, tau_min,
+                 corr_js, three_pass, plane_dtype, kernel_precision,
+                 interpret, lax_precision):
+        self.T, self.M, self.N, self.D = T, M, N, D
+        self.tile_d, self.chunk_b, self.cc = tile_d, chunk_b, cc
+        self.tau_min, self.corr_js = tau_min, corr_js
+        self.three_pass = three_pass
+        self.plane_dtype = plane_dtype
+        self.kernel_precision = kernel_precision
+        self.lax_precision = lax_precision
+        self.interpret = interpret
+        self.n_planes = 2 if three_pass else 1
+        self.DP = _round_up(D, tile_d)
+
+
+def _fused_forward(signals, W3, Wc, adaptive, meta):
+    """Trace-functional fused steered power.
+
+    signals: (B, channels, N); W3: (D, T, M); Wc: (J, D, Tc, M) or None;
+    adaptive: (M,) int32.  Returns flat power (B, D) float32.  All array
+    arguments may be tracers (shard_map-compatible); weight prep (pad,
+    reshape, plane split) is jnp and constant-folds when W3 is a constant.
+    """
+    m = meta
+    B = signals.shape[0]
+    Bc, N, D, M, T, P = m.chunk_b, m.N, m.D, m.M, m.T, m.n_planes
+    if B % Bc:
+        pad_b = Bc - B % Bc
+        signals = jnp.concatenate(
+            [signals, jnp.zeros((pad_b,) + signals.shape[1:],
+                                signals.dtype)], axis=0)
+    BP = signals.shape[0]
+
+    # weights: pad direction axis, flatten taps, split bf16 planes
+    wf = jnp.pad(W3, ((0, m.DP - D), (0, 0), (0, 0))).reshape(m.DP, T * M)
+    if m.three_pass:
+        hi = wf.astype(jnp.float32).astype(jnp.bfloat16)
+        lo = (wf.astype(jnp.float32)
+              - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        Wp = jnp.stack([hi, lo])
+    else:
+        Wp = wf.astype(m.plane_dtype)[None]
+
+    sf = signals[:, adaptive, :]                          # (BP, M, N)
+    if m.three_pass:
+        hi = sf.astype(jnp.float32).astype(jnp.bfloat16)
+        lo = (sf.astype(jnp.float32)
+              - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        s = jnp.stack([hi, lo], axis=1)                   # (BP, P, M, N)
+    else:
+        s = sf.astype(m.plane_dtype)[:, None]
+    s_chunks = s.reshape(BP // Bc, Bc, P, M, N).transpose(0, 2, 3, 1, 4)
+
+    # narrow dense corrections in the kernel layout
+    if Wc is None:
+        corr = jnp.zeros((BP // Bc, m.DP, Bc, m.cc), jnp.float32)
+    else:
+        sj = jnp.stack([sf[:, :, j].astype(jnp.float32)
+                        for j in m.corr_js], axis=1)       # (BP, J, M)
+        sjc = sj.reshape(BP // Bc, Bc, len(m.corr_js), M)
+        wcp = jnp.pad(Wc.astype(jnp.float32),
+                      ((0, 0), (0, m.DP - D), (0, 0), (0, 0)))
+        corr = jnp.einsum("jdtm,cbjm->cdbt", wcp, sjc,
+                          precision=m.lax_precision)
+        corr = jnp.pad(corr, ((0, 0), (0, 0), (0, 0),
+                              (0, m.cc - corr.shape[-1])))
+
+    grid = (BP // Bc, m.DP // m.tile_d)
+    kernel = functools.partial(
+        _power_kernel, T=T, M=M, tau_min=m.tau_min, Bc=Bc, N=N, cc=m.cc,
+        inv_n=np.float32(1.0 / M), inv_len=np.float32(1.0 / N),
+        precision=m.kernel_precision, three_pass=m.three_pass)
+    power = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((P, m.tile_d, T * M), lambda b, d: (0, d, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, P, M, Bc, N), lambda b, d: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, m.tile_d, Bc, m.cc),
+                         lambda b, d: (b, d, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, Bc, m.tile_d), lambda b, d: (b, 0, d),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BP // Bc, Bc, m.DP), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((P, T * M, Bc * N), m.plane_dtype)],
+        interpret=m.interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * P * BP * m.DP * T * M * N,
+            bytes_accessed=4 * (BP // Bc * m.DP * T * M + BP * M * N
+                                + BP * m.DP),
+            transcendentals=0,
+        ),
+    )(Wp, s_chunks, corr)
+    return power.reshape(BP, m.DP)[:B, :D]
+
+
 class FusedBeamformer:
     """Precomputed padded weights + a jitted fused pallas launch.
 
@@ -138,18 +243,19 @@ class FusedBeamformer:
         self.tile_d = tile_d
         self.chunk_b = chunk_b
         self.cc = min(CORR_COLS, N)
-        wf = np.zeros((self.DP, T * M), dtype=w_dtype)
-        wf[:D] = np.asarray(t.W).reshape(D, T * M)
-        if self.three_pass:
-            hi = wf.astype(np.float32).astype(jnp.bfloat16)
-            lo = (wf.astype(np.float32)
-                  - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
-            self.Wp = jnp.stack([jnp.asarray(hi), jnp.asarray(lo)])
-        else:
-            self.Wp = jnp.asarray(wf)[None]            # (1, DP, K)
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self.interpret = interpret
+        self.meta = _Meta(
+            T=T, M=M, N=N, D=D, tile_d=tile_d, chunk_b=chunk_b, cc=self.cc,
+            tau_min=t.tau_min, corr_js=t.corr_js,
+            three_pass=self.three_pass, plane_dtype=self.plane_dtype,
+            kernel_precision=(jax.lax.Precision.HIGHEST
+                              if t.precision == "highest"
+                              and not self.three_pass
+                              else jax.lax.Precision.DEFAULT),
+            lax_precision=t.lax_precision,
+            interpret=interpret)
         isz = np.dtype(self.plane_dtype).itemsize
         P = self.n_planes
         vmem = (2 * P * tile_d * T * M * isz           # W tiles (dbl buf)
@@ -167,91 +273,8 @@ class FusedBeamformer:
         squeeze = signals.ndim == 2
         if squeeze:
             signals = signals[None]
-        B = signals.shape[0]
-        Bc = self.chunk_b
-        if B % Bc:
-            pad_b = Bc - B % Bc
-            signals = jnp.concatenate(
-                [signals, jnp.zeros((pad_b,) + signals.shape[1:],
-                                    signals.dtype)], axis=0)
-        BP = signals.shape[0]
-        N, D, M, T = self.N, t.n_directions, self.M, self.T
-
-        sf = signals[:, t.adaptive, :]                        # (BP, M, N)
-        if self.three_pass:
-            hi = sf.astype(jnp.float32).astype(jnp.bfloat16)
-            lo = (sf.astype(jnp.float32)
-                  - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            s = jnp.stack([hi, lo], axis=1)                   # (BP, P, M, N)
-        else:
-            s = sf.astype(self.plane_dtype)[:, None]          # (BP, 1, M, N)
-        s_chunks = s.reshape(BP // Bc, Bc, self.n_planes, M, N) \
-                    .transpose(0, 2, 3, 1, 4)    # (chunks, P, M, Bc, N)
-
-        # narrow dense corrections, computed straight into the kernel's
-        # (chunks, DP, Bc, cc) layout — no transpose of the big tensor
-        if t.Wc is None:
-            corr = jnp.zeros((BP // Bc, self.DP, Bc, self.cc), jnp.float32)
-        else:
-            sj = jnp.stack(
-                [signals[:, t.adaptive, j].astype(jnp.float32)
-                 for j in t.corr_js], axis=1)          # (BP, J, M)
-            sjc = sj.reshape(BP // Bc, Bc, len(t.corr_js), M)
-            wc = jnp.pad(t.Wc.astype(jnp.float32),
-                         ((0, 0), (0, self.DP - D), (0, 0), (0, 0)))
-            corr = jnp.einsum("jdtm,cbjm->cdbt", wc, sjc,
-                              precision=t.lax_precision)
-            corr = jnp.pad(
-                corr, ((0, 0), (0, 0), (0, 0),
-                       (0, self.cc - corr.shape[-1])))
-
-        grid = (BP // Bc, self.DP // self.tile_d)
-        kernel = functools.partial(
-            _power_kernel,
-            T=T, M=M,
-            tau_min=t.tau_min,
-            Bc=Bc, N=N, cc=self.cc,
-            inv_n=np.float32(1.0 / t.n_mics),
-            inv_len=np.float32(1.0 / N),
-            precision=(jax.lax.Precision.HIGHEST
-                       if t.precision == "highest" and not self.three_pass
-                       else jax.lax.Precision.DEFAULT),
-            three_pass=self.three_pass,
-        )
-        P = self.n_planes
-        power = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((P, self.tile_d, T * M),
-                             lambda b, d: (0, d, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((None, P, self.M, Bc, N),
-                             lambda b, d: (b, 0, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((None, self.tile_d, Bc, self.cc),
-                             lambda b, d: (b, d, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((None, Bc, self.tile_d),
-                                   lambda b, d: (b, 0, d),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((BP // Bc, Bc, self.DP),
-                                           jnp.float32),
-            scratch_shapes=[pltpu.VMEM((P, T * M, Bc * N),
-                                       self.plane_dtype)],
-            interpret=self.interpret,
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=64 * 1024 * 1024),
-            cost_estimate=pl.CostEstimate(
-                flops=2 * BP * self.DP * T * M * N,
-                bytes_accessed=4 * (BP // Bc * self.DP * T * M
-                                    + BP * M * N + BP * self.DP),
-                transcendentals=0,
-            ),
-        )(self.Wp, s_chunks, corr)
-        power = power.reshape(BP, self.DP)[:B, :D]
-        power = power.reshape(B, t.res_x, t.res_y)
+        power = _fused_forward(signals, t.W, t.Wc, t.adaptive, self.meta)
+        power = power.reshape(signals.shape[0], t.res_x, t.res_y)
         return power[0] if squeeze else power
 
     def __call__(self, signals: jax.Array) -> jax.Array:

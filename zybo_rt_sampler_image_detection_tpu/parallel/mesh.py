@@ -94,8 +94,61 @@ def sharded_steered_power(mesh: Mesh, t: SteeringTables):
     )
 
 
-# Multi-chip note: the fused Pallas kernel is single-device; across a mesh
-# the XLA formulation above shards cleanly (W over `model`, frames over
-# `data`) with SPMD-inserted collectives.  Running the Pallas kernel per
-# shard under shard_map is a planned follow-up (requires the kernel
-# invocation to be trace-functional in its table arguments).
+def sharded_fused_power(mesh: Mesh, t: SteeringTables, tile_d: int = 256,
+                        chunk_b: Optional[int] = None,
+                        interpret: Optional[bool] = None):
+    """Multi-chip fused path: each device runs the Pallas steered-power
+    kernel on its (data shard of frames) x (model shard of directions);
+    XLA gathers the (B, X, Y) map at the output boundary.
+
+    ``t`` must come from :func:`shard_tables` (direction axis padded to a
+    model-axis multiple).  Returns ``fn(frames) -> (B, X, Y)``.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops import pallas_kernels as pk
+
+    n_model = mesh.shape["model"]
+    DP_total, T, M = t.W.shape
+    assert DP_total % n_model == 0
+    D_loc = DP_total // n_model
+    D_true = t.res_x * t.res_y
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if chunk_b is None:
+        chunk_b = 16 if t.W.dtype.itemsize == 2 and t.precision != "high" \
+            else 8
+    three_pass = (t.precision == "high" and t.W.dtype.itemsize == 4)
+    meta = pk._Meta(
+        T=T, M=M, N=t.n_samples, D=D_loc, tile_d=min(tile_d, D_loc),
+        chunk_b=chunk_b, cc=min(pk.CORR_COLS, t.n_samples),
+        tau_min=t.tau_min, corr_js=t.corr_js, three_pass=three_pass,
+        plane_dtype=jnp.bfloat16 if three_pass else t.W.dtype,
+        kernel_precision=(jax.lax.Precision.HIGHEST
+                          if t.precision == "highest" and not three_pass
+                          else jax.lax.Precision.DEFAULT),
+        lax_precision=t.lax_precision,
+        interpret=interpret)
+
+    has_wc = t.Wc is not None
+
+    def local(frames, W, Wc, adaptive):
+        return pk._fused_forward(frames, W,
+                                 Wc if has_wc else None, adaptive, meta)
+
+    wc_arg = t.Wc if has_wc else jnp.zeros((1,), t.W.dtype)
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data", None, None), P("model", None, None),
+                  P(None, "model", None, None) if has_wc else P(None),
+                  P(None)),
+        out_specs=P("data", "model"),
+        check_rep=False,
+    )
+
+    @jax.jit
+    def run(frames):
+        flat = fn(frames, t.W, wc_arg, t.adaptive)     # (B, DP_total)
+        return flat[:, :D_true].reshape(frames.shape[0], t.res_x, t.res_y)
+
+    return run
