@@ -148,3 +148,54 @@ def test_web_server_routes():
     finally:
         server.shutdown()
         server.camera.stop()
+
+
+def test_web_sound_route():
+    """/sound starts the pad backend plus the MISO audio stage."""
+    cfg = zrt.Config.tiny().replace(udp_port=21922)
+    frames = _source_frames(cfg, 4, 3, n=300)
+    streamer.stream_in_background(cfg, frames, n_arrays=1, delay=0.3,
+                                  exact_reference=False,
+                                  rate=2 * cfg.sample_rate)
+    from zybo_rt_sampler_image_detection_tpu.apps.web import make_server
+    server = make_server(cfg, replay=True, port=0, headless_camera=True)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/sound", timeout=20).read()
+        assert server.camera.pipeline is not None
+        assert server.camera.pipeline._miso is not None
+        time.sleep(0.5)
+        assert server.camera.pipeline._miso.sink.frames > 0
+    finally:
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/disconnect", timeout=10).read()
+        server.shutdown()
+        server.camera.stop()
+
+
+def test_record_udp_to_pcap(tmp_path):
+    """UDP wire capture -> pcap + timestamp CSV (record_udp parity)."""
+    import csv
+
+    from zybo_rt_sampler_image_detection_tpu.ingest import protocol
+    from zybo_rt_sampler_image_detection_tpu.utils import recording
+
+    cfg = zrt.Config.tiny().replace(udp_port=21923)
+    frames = _source_frames(cfg, 2, 2, n=3)
+    streamer.stream_in_background(cfg, frames, n_arrays=1, delay=0.3,
+                                  exact_reference=False,
+                                  rate=4 * cfg.sample_rate)
+    pcap = str(tmp_path / "c.pcap")
+    csvp = str(tmp_path / "c.csv")
+    n = recording.record_udp_to_pcap(cfg, seconds=1.2, path=pcap,
+                                     timestamps_csv=csvp)
+    assert n > 0
+    payloads = [p for _, p in protocol.read_pcap(pcap)]
+    assert len(payloads) == n
+    with open(csvp) as f:
+        rows = list(csv.reader(f))
+    assert rows[0] == ["index", "timestamp", "counter"]
+    assert len(rows) == n + 1
