@@ -199,3 +199,41 @@ def test_record_udp_to_pcap(tmp_path):
         rows = list(csv.reader(f))
     assert rows[0] == ["index", "timestamp", "counter"]
     assert len(rows) == n + 1
+
+
+def test_web_replay_selection(tmp_path):
+    """/replay lists captures and streaming one feeds the live pipeline."""
+    cfg = zrt.Config.tiny().replace(udp_port=21924)
+    frames = _source_frames(cfg, 5, 4, n=1)
+    sig = np.concatenate([frames[0]] * 60, axis=1)
+    np.save(tmp_path / "cap.npy", sig)
+
+    from zybo_rt_sampler_image_detection_tpu.apps.web import make_server
+    server = make_server(cfg, replay=True, port=0, headless_camera=True,
+                         capture_dir=str(tmp_path))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        html = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/replay", timeout=5).read().decode()
+        assert "cap.npy" in html
+        # kick off the replay, then connect the pad backend to consume it
+        html = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/replay?file=cap.npy",
+            timeout=10).read().decode()
+        assert "replaying cap.npy" in html
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/enableBackend1", timeout=30).read()
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            p = server.camera.pipeline
+            if p is not None and p.receiver.native_stats.frames > 0:
+                break
+            time.sleep(0.2)
+        assert server.camera.pipeline.receiver.native_stats.frames > 0
+    finally:
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/disconnect", timeout=10).read()
+        server.shutdown()
+        server.camera.stop()

@@ -11,6 +11,10 @@ Re-implements the reference Django app (``PC/application``) on the stdlib
 * ``/sound``            — pad + steered MISO audio   (``views.py``)
 * ``/monitor``          — multipart/x-mixed-replace MJPEG stream
                           (``camera.py:129-133`` gen)
+* ``/replay``           — capture selection page
+                          (``templates/replay_selection.html`` parity):
+                          lists ``*.npy``/``*.pcap`` in the capture dir
+                          and streams the chosen one to loopback
 * ``/disconnect``       — stop producers and the receiver
 
 Threshold/amount come from GET query params like the reference's sliders
@@ -40,6 +44,7 @@ _PAGE = """<!doctype html><html><head><title>zybo-rt-tpu</title></head>
  <a href="/enableBackend2?threshold={threshold}&amount={amount}">convolve</a> |
  <a href="/enableBackend3?threshold={threshold}&amount={amount}">fft</a> |
  <a href="/sound?threshold={threshold}&amount={amount}">pad + sound</a> |
+ <a href="/replay">replay</a> |
  <a href="/disconnect">disconnect</a>
 </p>
 <form action="{action}" method="get">
@@ -53,6 +58,10 @@ _PAGE = """<!doctype html><html><head><title>zybo-rt-tpu</title></head>
 </body></html>"""
 
 _BACKENDS = {1: "pad", 2: "convolve", 3: "fft"}
+
+_REPLAY_PAGE = """<!doctype html><html><body style="font-family:sans-serif">
+<h2>replay a capture</h2><p>{status}</p><ul>{items}</ul>
+<p><a href="/">back</a></p></body></html>"""
 
 
 class SyntheticCamera:
@@ -160,9 +169,43 @@ def _jpeg(img: np.ndarray) -> bytes:
 
 
 def make_server(cfg: Config = None, replay: bool = False, port: int = 8000,
-                headless_camera: bool = True, host: str = "127.0.0.1"):
+                headless_camera: bool = True, host: str = "127.0.0.1",
+                capture_dir: str = "."):
     cfg = cfg or Config()
     cam = VideoCamera(cfg, replay, headless_camera)
+
+    def list_captures():
+        import glob
+        import os
+        return sorted(
+            os.path.basename(p)
+            for pat in ("*.npy", "*.pcap")
+            for p in glob.glob(os.path.join(capture_dir, pat)))
+
+    def start_replay(name):
+        """Stream a capture to loopback in the background (the reference's
+        udpreplay flow behind replay_selection.html)."""
+        import os
+        import threading as _th
+
+        from ..ingest.streamer import Streamer
+        path = os.path.join(capture_dir, os.path.basename(name))
+        if not os.path.exists(path):
+            return f"no such capture: {name}"
+
+        def run():
+            s = Streamer(cfg)
+            try:
+                if path.endswith(".npy"):
+                    s.send_header()
+                    s.send_npy(path, rate=cfg.sample_rate)
+                else:
+                    s.send_pcap(path, realtime=True)
+            finally:
+                s.close()
+
+        _th.Thread(target=run, daemon=True).start()
+        return f"replaying {name} to {cfg.udp_replay_ip}:{cfg.udp_port}"
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):                    # quiet
@@ -198,6 +241,20 @@ def make_server(cfg: Config = None, replay: bool = False, port: int = 8000,
                 self._sliders(q)
                 cam.start(1, sound=True)
                 self._page(action="/sound")
+            elif u.path == "/replay":
+                status = ""
+                if "file" in q:
+                    status = start_replay(q["file"][0])
+                items = "".join(
+                    f'<li><a href="/replay?file={f}">{f}</a></li>'
+                    for f in list_captures()) or "<li>(no captures)</li>"
+                body = _REPLAY_PAGE.format(status=status,
+                                           items=items).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             elif u.path == "/disconnect":
                 cam.stop()
                 self._page()
