@@ -90,8 +90,10 @@ def _viewer_loop(p: Pipeline, args):
     import cv2
 
     from ..utils import viz, imaging
+    win = "zybo-rt-tpu mimo"
     prev = None
     n = 0
+    mouse_set = False
     while not args.frames or n < args.frames:
         power, seq = p.q_power.get(timeout=10.0)
         heat, should = viz.calculate_heatmap(power, threshold=0,
@@ -99,7 +101,16 @@ def _viewer_loop(p: Pipeline, args):
         if prev is not None:
             heat = imaging.add_weighted(prev, 0.5, heat, 0.5)
         prev = heat
-        cv2.imshow("zybo-rt-tpu mimo", heat)
+        cv2.imshow(win, heat)
+        if not mouse_set:
+            # click-to-steer, mirroring visual.py:375-386 (vertical,
+            # 1-horizontal inversion included)
+            def on_mouse(event, x, y, flags, params):
+                if event == cv2.EVENT_LBUTTONDOWN:
+                    d = p.steer_click(y / 480.0, 1.0 - x / 720.0)
+                    print(f"steer -> grid cell {d}")
+            cv2.setMouseCallback(win, on_mouse)
+            mouse_set = True
         if cv2.waitKey(1) == 27:
             break
         n += 1
