@@ -94,13 +94,14 @@ def _power_kernel(w_ref, s_ref, corr_ref, out_ref, sdel_ref, *, T, M,
         acc = ((dot(0, 1) + dot(1, 0)) + dot(0, 0))
     else:
         acc = dot(0, 0)
+    acc = acc.reshape(tile_d, Bc, N)
     corr = corr_ref[:].astype(jnp.float32)
-    if cc < N:   # extend with zeros; Mosaic has no scatter-add
-        corr = jnp.concatenate(
-            [corr, jnp.zeros(corr.shape[:2] + (N - cc,), jnp.float32)],
-            axis=2)
-    beams = (acc.reshape(tile_d, Bc, N) - corr) * inv_n
-    power = jnp.sum(beams * beams, axis=2) * inv_len  # (TILE_D, Bc)
+    # power of (acc - corr_ext)/n without materializing a zero-extended
+    # correction tensor: sum((a-c)^2) = sum(a^2) + sum(c^2 - 2*a_head*c)
+    p_full = jnp.sum(acc * acc, axis=2)
+    head = acc[:, :, :cc]
+    p_delta = jnp.sum(corr * corr - 2.0 * head * corr, axis=2)
+    power = (p_full + p_delta) * (inv_n * inv_n * inv_len)  # (TILE_D, Bc)
     out_ref[:, :] = power.T
 
 
@@ -242,7 +243,10 @@ class FusedBeamformer:
         self.DP = _round_up(D, tile_d)
         self.tile_d = tile_d
         self.chunk_b = chunk_b
-        self.cc = min(CORR_COLS, N)
+        # correction columns: Mosaic only needs 8-multiples in the last
+        # block dim, and padding to 128 lanes cost ~25% of the runtime
+        tc = 0 if t.Wc is None else t.Wc.shape[2]
+        self.cc = min(max(8, _round_up(tc, 8)), N)
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self.interpret = interpret

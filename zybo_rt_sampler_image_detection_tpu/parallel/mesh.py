@@ -121,7 +121,9 @@ def sharded_fused_power(mesh: Mesh, t: SteeringTables, tile_d: int = 256,
     three_pass = (t.precision == "high" and t.W.dtype.itemsize == 4)
     meta = pk._Meta(
         T=T, M=M, N=t.n_samples, D=D_loc, tile_d=min(tile_d, D_loc),
-        chunk_b=chunk_b, cc=min(pk.CORR_COLS, t.n_samples),
+        chunk_b=chunk_b,
+        cc=min(max(8, -(-(t.Wc.shape[2] if t.Wc is not None else 0) // 8)
+                   * 8), t.n_samples),
         tau_min=t.tau_min, corr_js=t.corr_js, three_pass=three_pass,
         plane_dtype=jnp.bfloat16 if three_pass else t.W.dtype,
         kernel_precision=(jax.lax.Precision.HIGHEST
