@@ -193,3 +193,25 @@ def test_dead_mic_masking():
     r.disconnect()
     assert np.all(got[0] == 0.0) and np.all(got[3] == 0.0)
     assert np.any(got[1] != 0.0)
+
+
+@pytest.mark.parametrize("backend", ["python", "native"])
+def test_reconnect_cycle(backend):
+    """connect/disconnect/connect in one process (the native engine is a
+    process singleton — reconnection must fully reset it)."""
+    port = 21907 if backend == "python" else 21908
+    cfg = zrt.Config.tiny().replace(udp_port=port)
+    rng = np.random.default_rng(9)
+    frames = [(rng.standard_normal((cfg.n_microphones, cfg.n_samples)) * 0.1
+               ).astype(np.float32) for _ in range(6)]
+
+    for cycle in range(2):
+        r = receiver.Receiver(cfg, replay_mode=True, backend=backend,
+                              exact_reference=False)
+        streamer.stream_in_background(cfg, frames, n_arrays=1, delay=0.2,
+                                      exact_reference=False)
+        assert r.connect(timeout=5.0) == 1
+        got, seq = r.read_frame(fresh=True, last_seq=0, timeout=5.0)
+        r.disconnect()
+        errs = [np.abs(got - f).max() for f in frames]
+        assert min(errs) < 2.0 / cfg.norm_factor, f"cycle {cycle}"
