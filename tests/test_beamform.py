@@ -141,3 +141,16 @@ def test_delay_table_symmetry(tiny_cfg):
     d = geometry.calculate_delays(tiny_cfg)
     rel = d - d.mean(axis=2, keepdims=True)
     np.testing.assert_allclose(rel[::-1, ::-1, :], -rel, atol=1e-9)
+
+
+def test_miso_convolve_matches_oracle(tiny_cfg, frame):
+    """miso through convolve tables (negative delay-line shifts)."""
+    cfg = tiny_cfg
+    active, n = geometry.active_microphones(cfg)
+    tables = beamform.make_tables(cfg, "convolve", cache=False)
+    d = 3 * cfg.max_res_y + 2
+    taps = geometry.convolve_coefficients(cfg)
+    ref = oracle.miso_convolve(frame, active, taps.reshape(-1), n,
+                               d * n * cfg.n_taps, cfg.n_taps)
+    got = np.asarray(beamform.miso_beam(frame, tables, d))
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=1e-5)

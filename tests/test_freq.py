@@ -92,3 +92,18 @@ def test_mvdr_beam_recovers_signal(tiny_cfg):
     ref = frame[active[0]]
     c = np.corrcoef(beam, ref)[0, 1]
     assert abs(c) > 0.7
+
+
+def test_batched_covariance_update(tiny_cfg, rng):
+    """update_covariance over a batch equals the mean of per-frame outers."""
+    from conftest import synth_frame
+
+    frames = np.stack([synth_frame(tiny_cfg, rng) for _ in range(3)])
+    t = freq.make_freq_tables(tiny_cfg, 100.0, 20000.0)
+    s_batch = freq.update_covariance(freq.init_covariance(t), frames, t)
+    # manual: first update replaces the identity with the batch mean
+    singles = [freq.update_covariance(freq.init_covariance(t), f, t)
+               for f in frames]
+    mean_re = np.mean([np.asarray(s.R_re) for s in singles], axis=0)
+    np.testing.assert_allclose(np.asarray(s_batch.R_re), mean_re,
+                               rtol=1e-5, atol=1e-7)
