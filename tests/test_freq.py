@@ -106,4 +106,4 @@ def test_batched_covariance_update(tiny_cfg, rng):
                for f in frames]
     mean_re = np.mean([np.asarray(s.R_re) for s in singles], axis=0)
     np.testing.assert_allclose(np.asarray(s_batch.R_re), mean_re,
-                               rtol=1e-5, atol=1e-7)
+                               rtol=2e-4, atol=1e-6)

@@ -211,7 +211,9 @@ def test_reconnect_cycle(backend):
         streamer.stream_in_background(cfg, frames, n_arrays=1, delay=0.2,
                                       exact_reference=False)
         assert r.connect(timeout=5.0) == 1
-        got, seq = r.read_frame(fresh=True, last_seq=0, timeout=5.0)
+        # skip the first frame: when the bind lands mid-burst the counter
+        # alignment zero-fills its missed head (by design)
+        got, seq = r.read_frame(fresh=True, last_seq=1, timeout=5.0)
         r.disconnect()
         errs = [np.abs(got - f).max() for f in frames]
         assert min(errs) < 2.0 / cfg.norm_factor, f"cycle {cycle}"

@@ -90,7 +90,6 @@ void recv_loop() {
     std::vector<uint8_t> pkt(psize);
     std::vector<float> frame((size_t)g.n_mics * g.n_samples, 0.0f);
     const double inv_norm = 1.0 / g.norm;
-    int step = 0;
 
     while (!g.stop.load(std::memory_order_relaxed)) {
         ssize_t n = recv(g.sock, pkt.data(), psize, 0);
@@ -106,12 +105,15 @@ void recv_loop() {
         g.last_counter = h->counter;
         g.packets++;
 
+        // Frame slot from the packet counter (unused by the reference):
+        // keeps assembly aligned across startup offsets and packet loss.
+        const int step = (int)(h->counter % (uint32_t)g.n_samples);
         const int32_t* stream = (const int32_t*)(pkt.data() + sizeof(MsgHeader));
         for (int s = 0; s < n_ch; s++) {
             frame[(size_t)s * g.n_samples + step] =
                 (float)((double)stream[g.perm[s]] * inv_norm);
         }
-        if (++step == g.n_samples) {
+        if (step == g.n_samples - 1) {
             long long sq = g.seq.load(std::memory_order_relaxed);
             std::memcpy(g.buf[(sq + 1) % 2].data(), frame.data(),
                         frame.size() * sizeof(float));
@@ -121,7 +123,6 @@ void recv_loop() {
             }
             g.cv.notify_all();
             g.frames++;
-            step = 0;
         }
     }
 }

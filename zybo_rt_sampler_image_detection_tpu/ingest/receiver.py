@@ -181,7 +181,6 @@ class Receiver:
         n_ch = perm.shape[0]
         inv_norm = 1.0 / cfg.norm_factor
         frame = np.zeros((cfg.n_microphones, cfg.n_samples), np.float32)
-        step = 0
         psize = protocol.packet_size(cfg)
         while not self._stop.is_set():
             try:
@@ -203,12 +202,14 @@ class Receiver:
             self.stats.last_counter = counter
             self.stats.packets += 1
             stream = protocol.unpack_stream(cfg, data)
+            # Frame slot from the packet counter (unused by the reference,
+            # receiver.h:56): keeps frame assembly aligned across startup
+            # offsets and packet loss instead of counting received packets.
+            step = counter % cfg.n_samples
             frame[:n_ch, step] = stream[perm] * inv_norm
-            step += 1
-            if step == cfg.n_samples:
+            if step == cfg.n_samples - 1:
                 self.buffer.publish(frame)
                 self.stats.frames += 1
-                step = 0
 
     # -- native engine -------------------------------------------------------
 
