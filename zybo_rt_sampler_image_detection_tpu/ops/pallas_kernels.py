@@ -13,7 +13,7 @@ frames with near-minimal HBM traffic:
 * the per-direction mean power reduces in-register — the (D, B*N) beam
   tensor never exists in HBM either.
 
-Measured: 30k heatmaps/s at bf16 (64 ch x 65x65, B=512, one v5e), ~2.1x
+Measured: ~28.5k heatmaps/s at bf16 (64 ch x 65x65, B=512, one v5e), ~2x
 the unfused XLA path and 30x the project's north-star target — the serial
 per-direction C loop of ``pad_and_sum.c:114-142`` becomes a compute-bound
 systolic-array program.
