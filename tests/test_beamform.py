@@ -154,3 +154,13 @@ def test_miso_convolve_matches_oracle(tiny_cfg, frame):
                                d * n * cfg.n_taps, cfg.n_taps)
     got = np.asarray(beamform.miso_beam(frame, tables, d))
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=1e-5)
+
+
+def test_miso_beams_multi(tiny_cfg, frame):
+    """Batched multi-direction MISO equals per-direction calls."""
+    tables = beamform.make_lerp_tables(tiny_cfg)
+    dirs = np.array([0, 5, 17])
+    multi = np.asarray(beamform.miso_beams_multi(frame, tables, dirs))
+    singles = np.stack([np.asarray(beamform.miso_beam(frame, tables, d))
+                        for d in dirs])
+    np.testing.assert_allclose(multi, singles, rtol=1e-6, atol=1e-8)

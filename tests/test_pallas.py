@@ -10,7 +10,8 @@ from zybo_rt_sampler_image_detection_tpu.ops.pallas_kernels import FusedBeamform
 from conftest import synth_frame
 
 
-@pytest.mark.parametrize("algorithm", ["pad", "lerp", "hybrid"])
+@pytest.mark.parametrize("algorithm",
+                         ["pad", "lerp", "hybrid", "convolve", "truncated"])
 def test_fused_matches_xla(tiny_cfg, rng, algorithm):
     frames = np.stack([synth_frame(tiny_cfg, rng) for _ in range(2)])
     tables = beamform.make_tables(tiny_cfg, algorithm)
