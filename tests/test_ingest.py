@@ -208,12 +208,49 @@ def test_reconnect_cycle(backend):
     for cycle in range(2):
         r = receiver.Receiver(cfg, replay_mode=True, backend=backend,
                               exact_reference=False)
-        streamer.stream_in_background(cfg, frames, n_arrays=1, delay=0.2,
-                                      exact_reference=False)
+        th = streamer.stream_in_background(cfg, frames, n_arrays=1,
+                                           delay=0.2, exact_reference=False)
         assert r.connect(timeout=5.0) == 1
         # skip the first frame: when the bind lands mid-burst the counter
         # alignment zero-fills its missed head (by design)
         got, seq = r.read_frame(fresh=True, last_seq=1, timeout=5.0)
         r.disconnect()
+        th.join(timeout=5.0)   # don't let this cycle's stream bleed into
         errs = [np.abs(got - f).max() for f in frames]
         assert min(errs) < 2.0 / cfg.norm_factor, f"cycle {cycle}"
+
+
+def test_packet_loss_zero_fills_aligned():
+    """With counter-aligned assembly, dropped packets leave zeroed sample
+    columns instead of shifting the rest of the frame."""
+    cfg = zrt.Config.tiny().replace(udp_port=21909)
+    rng = np.random.default_rng(11)
+    frame = np.abs(rng.standard_normal(
+        (cfg.n_microphones, cfg.n_samples))).astype(np.float32) * 0.1 + 0.01
+    pkts = list(protocol.frame_to_packets(cfg, frame, n_arrays=1,
+                                          exact_reference=False))
+    drop = {10, 11}
+    r = receiver.Receiver(cfg, replay_mode=True, backend="python",
+                          exact_reference=False)
+
+    def send():
+        time.sleep(0.2)
+        s = streamer.Streamer(cfg, n_arrays=1, exact_reference=False)
+        s.send_header()
+        for c, p in enumerate(pkts):
+            if c in drop:
+                continue
+            s._sock.sendto(p, (s.ip, s.port))
+            time.sleep(0.0005)
+        s.close()
+
+    threading.Thread(target=send, daemon=True).start()
+    r.connect(timeout=5.0)
+    got, _ = r.read_frame(fresh=True, last_seq=0, timeout=5.0)
+    r.disconnect()
+    n_ch = cfg.rows * cfg.columns
+    keep = [i for i in range(cfg.n_samples) if i not in drop]
+    np.testing.assert_allclose(got[:n_ch][:, keep], frame[:n_ch][:, keep],
+                               atol=2.0 / cfg.norm_factor)
+    assert np.all(got[:, sorted(drop)] == 0.0)
+    assert r.stats.gaps == 2

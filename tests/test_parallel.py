@@ -46,3 +46,18 @@ def test_sharded_fused_matches_single(tiny_cfg, rng, shape):
     fn = pmesh.sharded_fused_power(m, st, tile_d=8, chunk_b=2)
     got = np.asarray(fn(frames))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-10)
+
+
+def test_sharded_matches_single_hybrid(tiny_cfg, rng):
+    """Model-sharding with the hybrid algorithm exercises the 4-D
+    correction tensor partitioning."""
+    frames = np.stack([synth_frame(tiny_cfg, rng) for _ in range(4)])
+    tables = beamform.make_tables(tiny_cfg, "hybrid", cache=False)
+    ref = np.asarray(beamform.steered_power(frames, tables))
+    m = pmesh.make_mesh(2, 4)
+    st = pmesh.shard_tables(tables, m)
+    got = np.asarray(pmesh.sharded_steered_power(m, st)(frames))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-12)
+    got2 = np.asarray(pmesh.sharded_fused_power(m, st, tile_d=8,
+                                                chunk_b=2)(frames))
+    np.testing.assert_allclose(got2, ref, rtol=1e-4, atol=1e-10)
