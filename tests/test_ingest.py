@@ -254,3 +254,51 @@ def test_packet_loss_zero_fills_aligned():
                                atol=2.0 / cfg.norm_factor)
     assert np.all(got[:, sorted(drop)] == 0.0)
     assert r.stats.gaps == 2
+
+
+@pytest.mark.parametrize("backend", ["python", "native"])
+def test_packet_loss_in_later_frame_zero_fills(backend):
+    """Drops in a frame *after* the first must also leave zeros — the
+    assembly buffer is zeroed after every publish, so stale samples from
+    the previous frame never leak into dropped columns (advisor finding,
+    round 1)."""
+    port = 21913 if backend == "python" else 21914
+    cfg = zrt.Config.tiny().replace(udp_port=port)
+    rng = np.random.default_rng(13)
+    frames = [np.abs(rng.standard_normal(
+        (cfg.n_microphones, cfg.n_samples))).astype(np.float32) * 0.1 + 0.01
+        for _ in range(2)]
+    pkts = []
+    for i, f in enumerate(frames):
+        pkts.extend(protocol.frame_to_packets(
+            cfg, f, n_arrays=1, start_counter=i * cfg.n_samples,
+            exact_reference=False))
+    # drop only in the SECOND frame (columns 5 and 6 of frame index 1)
+    drop = {cfg.n_samples + 5, cfg.n_samples + 6}
+    r = receiver.Receiver(cfg, replay_mode=True, backend=backend,
+                          exact_reference=False)
+
+    def send():
+        time.sleep(0.2)
+        s = streamer.Streamer(cfg, n_arrays=1, exact_reference=False)
+        s.send_header()
+        for c, p in enumerate(pkts):
+            if c in drop:
+                continue
+            s._sock.sendto(p, (s.ip, s.port))
+            time.sleep(0.0005)
+        s.close()
+
+    threading.Thread(target=send, daemon=True).start()
+    r.connect(timeout=5.0)
+    got, seq = r.read_frame(fresh=True, last_seq=1, timeout=5.0)
+    r.disconnect()
+    assert seq == 2
+    n_ch = cfg.rows * cfg.columns
+    dropped_cols = sorted(c - cfg.n_samples for c in drop)
+    keep = [i for i in range(cfg.n_samples) if i not in dropped_cols]
+    np.testing.assert_allclose(
+        got[:n_ch][:, keep], frames[1][:n_ch][:, keep],
+        atol=2.0 / cfg.norm_factor)
+    # the dropped columns hold zeros, NOT frame-0 samples (all > 0 here)
+    assert np.all(got[:, dropped_cols] == 0.0)

@@ -237,3 +237,42 @@ def test_web_replay_selection(tmp_path):
             f"http://127.0.0.1:{port}/disconnect", timeout=10).read()
         server.shutdown()
         server.camera.stop()
+
+
+def test_web_metrics_and_hardened_routes():
+    """/metrics returns a JSON health snapshot; malformed backend paths get
+    404 (not a handler-thread stack trace); /replay escapes untrusted file
+    names (reflected-XSS fix, round-1 advisor)."""
+    import json
+    import urllib.error
+    import urllib.parse
+
+    cfg = zrt.Config.tiny().replace(udp_port=21925)
+    from zybo_rt_sampler_image_detection_tpu.apps.web import make_server
+    server = make_server(cfg, replay=True, port=0, headless_camera=True)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        body = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics", timeout=5).read()
+        rep = json.loads(body)
+        assert rep["running"] is False
+        assert rep["backend"] in ("pad", "none")
+        assert "overlay_errors" in rep
+
+        for bad in ("/enableBackendFoo", "/enableBackend9"):
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}{bad}", timeout=5)
+            assert ei.value.code == 404
+
+        evil = "<script>alert(1)</script>.npy"
+        html_body = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/replay?file="
+            + urllib.parse.quote(evil), timeout=5).read().decode()
+        assert "<script>" not in html_body
+        assert "&lt;script&gt;" in html_body
+    finally:
+        server.shutdown()
+        server.camera.stop()

@@ -119,8 +119,8 @@ def _viewer_loop(p: Pipeline, args):
 def cmd_miso(args):
     """Steered-listening demo (``main.pyx:824-864``): beam -> audio sink,
     steerable from the CLI."""
-    sink = "auto" if not args.headless else args.audio
-    p = _make_pipeline(args, audio_sink=args.audio, audio_path=args.out)
+    sink = args.audio or ("auto" if not args.headless else "wav")
+    p = _make_pipeline(args, audio_sink=sink, audio_path=args.out)
     p.connect()
     p.start_miso()
     p.steer_cartesian_degree(args.azimuth, args.elevation)
@@ -131,7 +131,7 @@ def cmd_miso(args):
         print("metrics:", p.report())
     finally:
         p.stop()
-    if args.audio == "wav":
+    if sink == "wav":
         print(f"beam audio written to {args.out}")
 
 
@@ -242,8 +242,10 @@ def main(argv=None):
     p.add_argument("--azimuth", type=float, default=0.0)
     p.add_argument("--elevation", type=float, default=0.0)
     p.add_argument("--seconds", type=float, default=3.0)
-    p.add_argument("--audio", default="wav",
-                   choices=["wav", "null", "sounddevice", "auto"])
+    p.add_argument("--audio", default=None,
+                   choices=["wav", "null", "sounddevice", "auto"],
+                   help="audio sink (default: auto = live playback when "
+                        "interactive, wav when --headless)")
     p.add_argument("--out", default="miso.wav")
     p.set_defaults(fn=cmd_miso)
 

@@ -16,6 +16,9 @@ Re-implements the reference Django app (``PC/application``) on the stdlib
                           lists ``*.npy``/``*.pcap`` in the capture dir
                           and streams the chosen one to loopback
 * ``/disconnect``       — stop producers and the receiver
+* ``/metrics``          — JSON health snapshot (per-stage rate/latency/
+                          drops from :class:`PipelineMetrics`, ingest gap
+                          counters, overlay error count)
 
 Threshold/amount come from GET query params like the reference's sliders
 (``views.py:20-30``); the heatmap overlay uses the same EMA blend
@@ -24,10 +27,16 @@ Threshold/amount come from GET query params like the reference's sliders
 
 from __future__ import annotations
 
+import html
+import json
+import logging
+import queue
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from urllib.parse import parse_qs, urlparse
+from urllib.parse import parse_qs, quote, urlparse
+
+_log = logging.getLogger(__name__)
 
 import numpy as np
 
@@ -98,6 +107,8 @@ class VideoCamera:
                        else viz._CvCapture(camera_src))
         self._prev_heat = None
         self._lock = threading.Lock()
+        self.overlay_errors = 0
+        self.last_overlay_error = ""
 
     # -- backend lifecycle (views.py:32-98 semantics) ---------------------------
 
@@ -141,6 +152,13 @@ class VideoCamera:
         if p is not None:
             try:
                 power, _ = p.q_power.get(timeout=0.5)
+            except queue.Empty:
+                # pipeline produced nothing this tick — camera-only frame,
+                # but visible in /metrics as overlay starvation
+                self.overlay_errors += 1
+                self.last_overlay_error = "q_power empty (pipeline stalled?)"
+                return _jpeg(frame)
+            try:
                 heat, should = viz.calculate_heatmap(
                     power, threshold=self.threshold, amount=self.amount,
                     window=(self.cfg.window_width, self.cfg.window_height))
@@ -150,9 +168,23 @@ class VideoCamera:
                 self._prev_heat = heat
                 if should:
                     frame = imaging.add_weighted(frame, 0.9, heat, 0.9)
-            except Exception:
-                pass
+            except Exception as e:
+                self.overlay_errors += 1
+                self.last_overlay_error = repr(e)
+                _log.warning("heatmap overlay failed: %r", e)
         return _jpeg(frame)
+
+    def metrics(self) -> dict:
+        """Health/metrics snapshot for the /metrics endpoint."""
+        rep = {"backend": _BACKENDS.get(self.backend, "none"),
+               "running": self.pipeline is not None,
+               "threshold": self.threshold, "amount": self.amount,
+               "overlay_errors": self.overlay_errors,
+               "last_overlay_error": self.last_overlay_error}
+        p = self.pipeline
+        if p is not None:
+            rep["pipeline"] = p.report()
+        return rep
 
 
 def _jpeg(img: np.ndarray) -> bytes:
@@ -233,8 +265,17 @@ def make_server(cfg: Config = None, replay: bool = False, port: int = 8000,
             if u.path == "/":
                 self._page()
             elif u.path.startswith("/enableBackend"):
+                try:
+                    n = int(u.path[len("/enableBackend"):])
+                except ValueError:
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                if n not in _BACKENDS:
+                    self.send_response(404)
+                    self.end_headers()
+                    return
                 self._sliders(q)
-                n = int(u.path[-1])
                 cam.start(n)
                 self._page(action=u.path)
             elif u.path == "/sound":
@@ -246,9 +287,10 @@ def make_server(cfg: Config = None, replay: bool = False, port: int = 8000,
                 if "file" in q:
                     status = start_replay(q["file"][0])
                 items = "".join(
-                    f'<li><a href="/replay?file={f}">{f}</a></li>'
+                    f'<li><a href="/replay?file={quote(f)}">'
+                    f'{html.escape(f)}</a></li>'
                     for f in list_captures()) or "<li>(no captures)</li>"
-                body = _REPLAY_PAGE.format(status=status,
+                body = _REPLAY_PAGE.format(status=html.escape(status),
                                            items=items).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "text/html")
@@ -258,6 +300,13 @@ def make_server(cfg: Config = None, replay: bool = False, port: int = 8000,
             elif u.path == "/disconnect":
                 cam.stop()
                 self._page()
+            elif u.path == "/metrics":
+                body = json.dumps(cam.metrics()).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             elif u.path == "/monitor":
                 self.send_response(200)
                 self.send_header(

@@ -123,6 +123,9 @@ void recv_loop() {
             }
             g.cv.notify_all();
             g.frames++;
+            // Zero the assembly buffer so packets lost in any later frame
+            // leave zeros (the documented contract), not stale samples.
+            std::memset(frame.data(), 0, frame.size() * sizeof(float));
         }
     }
 }

@@ -210,6 +210,10 @@ class Receiver:
             if step == cfg.n_samples - 1:
                 self.buffer.publish(frame)
                 self.stats.frames += 1
+                # Zero the assembly buffer so packets lost in *any* frame
+                # leave zeros (the documented contract), not stale samples
+                # from the previous frame.
+                frame[:] = 0.0
 
     # -- native engine -------------------------------------------------------
 

@@ -104,7 +104,7 @@ def sharded_fused_power(mesh: Mesh, t: SteeringTables, tile_d: int = 256,
     ``t`` must come from :func:`shard_tables` (direction axis padded to a
     model-axis multiple).  Returns ``fn(frames) -> (B, X, Y)``.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from ..ops import pallas_kernels as pk
 
@@ -145,7 +145,7 @@ def sharded_fused_power(mesh: Mesh, t: SteeringTables, tile_d: int = 256,
                   P(None, "model", None, None) if has_wc else P(None),
                   P(None)),
         out_specs=P("data", "model"),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit

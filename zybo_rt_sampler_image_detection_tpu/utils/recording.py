@@ -14,6 +14,7 @@ from __future__ import annotations
 import csv
 import socket
 import time
+import warnings
 from typing import Optional
 
 import numpy as np
@@ -22,18 +23,44 @@ from ..config import Config
 from ..ingest import protocol
 
 
-def get_recording(receiver, seconds: float) -> np.ndarray:
+def get_recording(receiver, seconds: float,
+                  on_skip: str = "zero") -> np.ndarray:
     """Capture ``seconds`` of contiguous frames from a connected
     :class:`~..ingest.receiver.Receiver` -> (n_mics, T) float32
-    (``record.py:28-46``)."""
+    (``record.py:28-46``).
+
+    The latest-frame buffer only holds the newest frame, so a stalled
+    consumer (GC, disk, jit) can miss frames.  Skips are detected from the
+    sequence counter; ``on_skip`` picks the policy: ``"zero"`` inserts zero
+    frames to keep the timeline contiguous (and warns), ``"raise"`` raises,
+    ``"ignore"`` concatenates whatever arrived (the reference behaviour).
+    """
     cfg = receiver.cfg
     n_frames = int(np.ceil(seconds * cfg.sample_rate / cfg.n_samples))
     chunks = []
-    seq = 0
-    for _ in range(n_frames):
-        frame, seq = receiver.read_frame(fresh=True, last_seq=seq,
-                                         timeout=10.0)
-        chunks.append(frame)
+    seq = None
+    skipped = 0
+    while len(chunks) < n_frames:
+        frame, new_seq = receiver.read_frame(
+            fresh=True, last_seq=0 if seq is None else seq, timeout=10.0)
+        if seq is not None and new_seq > seq + 1:
+            n_skip = new_seq - seq - 1
+            skipped += n_skip
+            if on_skip == "raise":
+                raise RuntimeError(
+                    f"recording not contiguous: consumer missed {n_skip} "
+                    f"frame(s) between seq {seq} and {new_seq}")
+            if on_skip == "zero":
+                for _ in range(min(n_skip, n_frames - len(chunks))):
+                    chunks.append(np.zeros_like(frame))
+        seq = new_seq
+        if len(chunks) < n_frames:
+            chunks.append(frame)
+    if skipped and on_skip == "zero":
+        warnings.warn(
+            f"get_recording: consumer missed {skipped} frame(s); "
+            "zero frames inserted to keep the capture contiguous",
+            RuntimeWarning, stacklevel=2)
     return np.concatenate(chunks, axis=1)
 
 
