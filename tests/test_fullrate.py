@@ -1,0 +1,90 @@
+"""Full-line-rate batched ingest -> device path (SURVEY §7 hard part b):
+every frame the receiver writes is beamformed exactly once, in
+counter-contiguous K-frame device batches, with zero drops at the hermetic
+rate.  The reference only ever snapshots the newest frame
+(``PC/src/api.c:830-859``) even though the receiver writes all of them
+(``PC/src/receiver.c:94-151``)."""
+
+import time
+
+import numpy as np
+import pytest
+
+import zybo_rt_sampler_image_detection_tpu as zrt
+from zybo_rt_sampler_image_detection_tpu.apps.pipeline import Pipeline
+from zybo_rt_sampler_image_detection_tpu.ingest import streamer
+from zybo_rt_sampler_image_detection_tpu.ingest.receiver import FrameRing
+from zybo_rt_sampler_image_detection_tpu.ops import beamform
+
+
+def test_frame_ring_batch_semantics():
+    ring = FrameRing(2, 4, capacity=8)
+    for s in range(1, 21):                       # publish seqs 1..20
+        ring.publish(np.full((2, 4), float(s), np.float32))
+
+    # reader far behind: oldest surviving frame is seq 13 (20 - 8 + 1)
+    batch, first, skipped = ring.read_batch(4, next_seq=1, timeout=0.0)
+    assert first == 13 and skipped == 12
+    assert [b[0, 0] for b in batch] == [13.0, 14.0, 15.0, 16.0]
+
+    # contiguous follow-up read: no skips
+    batch, first, skipped = ring.read_batch(4, next_seq=17, timeout=0.0)
+    assert first == 17 and skipped == 0
+    assert [b[0, 0] for b in batch] == [17.0, 18.0, 19.0, 20.0]
+
+    # not enough frames yet -> timeout signalled as (None, next_seq, 0)
+    batch, first, skipped = ring.read_batch(4, next_seq=21, timeout=0.05)
+    assert batch is None and first == 21
+
+    with pytest.raises(ValueError):
+        ring.read_batch(9, next_seq=1)           # k > capacity
+
+
+@pytest.mark.parametrize("backend", ["python", "native"])
+def test_batched_pipeline_beamforms_every_frame(backend):
+    """Emulator streams N distinct frames; the batched producer must
+    process all N (drop count == 0) and each heatmap must equal the
+    single-frame XLA path on the quantized signal."""
+    port = 21931 if backend == "python" else 21932
+    cfg = zrt.Config.tiny().replace(udp_port=port)
+    n_frames, K = 24, 4
+    rng = np.random.default_rng(21)
+    base = (rng.standard_normal(
+        (cfg.n_microphones, cfg.n_samples)) * 0.05).astype(np.float32)
+    frames = [(base * (1.0 + 0.1 * i)).astype(np.float32)
+              for i in range(n_frames)]
+
+    p = Pipeline(cfg, algorithm="lerp", replay_mode=True, backend=backend)
+    p.receiver.exact_reference = False
+    got = {}
+
+    def sink(powers, first_seq):
+        for j, pw in enumerate(powers):
+            got[first_seq + j] = pw
+
+    streamer.stream_in_background(cfg, frames, n_arrays=1, delay=0.5,
+                                  exact_reference=False,
+                                  rate=2 * cfg.sample_rate)
+    p.connect(timeout=5.0)
+    stage = p.start_heatmap_batched(batch=K, sink=sink)
+    deadline = time.time() + 20.0
+    while stage.processed < n_frames and time.time() < deadline:
+        time.sleep(0.05)
+    p.stop()
+
+    assert stage.skipped == 0, "full-rate contract: zero drops"
+    assert stage.processed >= n_frames
+    assert set(range(1, n_frames + 1)) <= set(got), \
+        "every frame must be beamformed exactly once, in order"
+
+    # heatmap correctness: batched device output == single-frame reference
+    # on the int32-quantized wire signal
+    for s in (1, n_frames // 2, n_frames):
+        wire = (np.round(frames[s - 1].astype(np.float64) * cfg.norm_factor)
+                / cfg.norm_factor).astype(np.float32)
+        expect = np.asarray(beamform.steered_power(wire, p.tables))
+        np.testing.assert_allclose(got[s], expect, rtol=1e-4, atol=1e-10)
+
+    rep = p.report()
+    assert rep["heatmap_batched"]["dropped"] == 0
+    assert rep["heatmap_batched"]["latency_p50_ms"] > 0

@@ -37,7 +37,8 @@ def _add_common(p):
     p.add_argument("--port", type=int, default=None, help="UDP port override")
 
 
-def _make_pipeline(args, audio_sink="null", audio_path=None) -> Pipeline:
+def _make_pipeline(args, audio_sink="null", audio_path=None,
+                   ring_frames: int = 64) -> Pipeline:
     cfg = Config()
     if args.port:
         cfg = cfg.replace(udp_port=args.port)
@@ -60,7 +61,8 @@ def _make_pipeline(args, audio_sink="null", audio_path=None) -> Pipeline:
         algorithm = "lerp"
     return Pipeline(cfg, algorithm=algorithm, replay_mode=args.replay,
                     backend=args.backend, audio_sink=audio_sink,
-                    audio_path=audio_path, power_fn=power_fn)
+                    audio_path=audio_path, power_fn=power_fn,
+                    ring_frames=ring_frames)
 
 
 def cmd_mimo(args):
@@ -178,6 +180,79 @@ def cmd_emulate(args):
         s.close()
 
 
+def cmd_fullrate(args):
+    """Full-line-rate proof: emulator at the true packet rate (48,828
+    pkt/s for the reference config) -> native ingest -> batched device
+    beamforming of EVERY frame; prints per-stage accounting.  The pass
+    criterion is skipped == 0 (no frame overwritten unread) and ingest
+    gaps == 0 for the whole run — the SURVEY §7 hard part (b)
+    done-condition.
+
+    Order matters on the 1-core tunneled host: the (possibly minutes-long,
+    erratic remote service) jit compile happens BEFORE the first packet
+    flows; the emulator is the native C++ streamer (a few %% of a core vs
+    ~93%% for the Python generator); and only the connected channel rows
+    cross the tunnel (the tail rows are never written).
+    """
+    from ..ingest.streamer import NativeStreamer
+
+    cfg = Config()
+    if args.port:
+        cfg = cfg.replace(udp_port=args.port)
+
+    n_ch = args.arrays * cfg.rows * cfg.columns
+    p = _make_pipeline(args, ring_frames=max(64, 4 * args.batch))
+    stats = {"batches": 0}
+
+    def sink(powers, first_seq):
+        stats["batches"] += 1
+
+    line_rate = cfg.sample_rate / cfg.n_samples
+    print(f"line rate {line_rate:.1f} frames/s "
+          f"({cfg.sample_rate:.0f} pkt/s); batch={args.batch}; "
+          f"channels={n_ch}; running {args.seconds:.0f}s ...")
+    stage = p.make_heatmap_batched(batch=args.batch, sink=sink,
+                                   channels=n_ch)
+    t0 = time.time()
+    stage.warmup()                          # compile before packets flow
+    print(f"  device program ready in {time.time()-t0:.1f}s; "
+          "starting native line-rate emulator")
+    t = np.arange(cfg.n_samples * 64) / cfg.sample_rate
+    sig = np.tile(np.sin(2 * np.pi * 8000.0 * t).astype(np.float32),
+                  (n_ch, 1)) * 0.1
+    emu = NativeStreamer(cfg, n_arrays=args.arrays)
+    emu.start(sig, rate=cfg.sample_rate)
+    try:
+        p.connect()                        # first packet = header
+        p.run_stage(stage)
+        t0 = time.time()
+        while time.time() - t0 < args.seconds:
+            time.sleep(1.0)
+            rate = stage.processed / (time.time() - t0)
+            print(f"  t={time.time()-t0:5.1f}s processed={stage.processed} "
+                  f"({rate:.1f}/s) skipped={stage.skipped} "
+                  f"ingest_gaps={p.receiver.native_stats.gaps}")
+    finally:
+        sent = emu.stop()
+        elapsed = time.time() - t0
+        p.stop()
+    rep = p.report()
+    ok = stage.skipped == 0 and p.receiver.native_stats.gaps == 0
+    print(f"\nemulator sent {sent} packets "
+          f"({sent / elapsed:.0f}/s vs line {cfg.sample_rate:.0f}/s)")
+    print(f"processed {stage.processed} frames in {elapsed:.1f}s "
+          f"({stage.processed / elapsed:.1f}/s vs line rate "
+          f"{line_rate:.1f}/s)")
+    print(f"skipped (ring overwrites) = {stage.skipped}; "
+          f"ingest packet gaps = {p.receiver.native_stats.gaps}")
+    print("batch latency p50 =",
+          rep["heatmap_batched"]["latency_p50_ms"], "ms  p95 =",
+          rep["heatmap_batched"]["latency_p95_ms"], "ms")
+    print("metrics:", rep)
+    print("FULL RATE SUSTAINED" if ok else "DROPS DETECTED")
+    return 0 if ok else 1
+
+
 def cmd_sensorfusion(args):
     """Fused live demo (``main.pyx:669-736`` mimo + ``record_sensorfusion``):
     camera -> YOLO tracker, receiver -> heatmap, fused by the decider; the
@@ -263,6 +338,15 @@ def main(argv=None):
     p.add_argument("--once", action="store_true")
     p.add_argument("--port", type=int, default=None)
     p.set_defaults(fn=cmd_emulate)
+
+    p = sub.add_parser("fullrate",
+                       help="line-rate emulator -> batched beamforming of "
+                            "every frame; pass = zero drops")
+    _add_common(p)
+    p.add_argument("--seconds", type=float, default=30.0)
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--arrays", type=int, default=3)
+    p.set_defaults(fn=cmd_fullrate, replay=True)
 
     p = sub.add_parser("sensorfusion",
                        help="fused camera+YOLO+heatmap demo -> mp4")

@@ -26,8 +26,10 @@ from __future__ import annotations
 import queue
 import threading
 import time
+from functools import partial
 from typing import Optional
 
+import jax
 import numpy as np
 
 from ..config import Config
@@ -89,6 +91,105 @@ class HeatmapProducer(Stage):
             self.metric.tick(time.perf_counter() - t0)
             if not put_drop_oldest(self.q_power, (power, seq)):
                 self.metric.drop()
+
+
+class BatchedHeatmapProducer(Stage):
+    """Full-line-rate heatmap stage: EVERY frame beamformed, not
+    latest-frame sampling.
+
+    The reference's consumer snapshots whichever frame is newest
+    (``get_data``, ``api.c:830-859``) and silently discards the rest even
+    though the receiver writes all of them (``receiver.c:94-151``).  On TPU
+    the per-frame compute is microseconds, so this stage drains the
+    receiver's frame ring in counter-contiguous batches of K, runs ONE
+    batched ``(K, M, N) -> (K, X, Y)`` device launch, and delivers every
+    heatmap.  The device pipeline is double-buffered: batch *i+1* is
+    transferred (``jax.device_put``, async) and dispatched while batch *i*'s
+    result is synchronized, and the input buffer is donated
+    (``donate_argnums``) so XLA reuses its HBM.
+
+    ``sink(powers (K, X, Y) float32, first_seq)`` receives every batch in
+    order; the default sink publishes the newest heatmap of each batch to
+    ``q_power`` (display semantics) — pass your own to consume all of them.
+    Accounting: ``processed`` counts beamformed frames, ``skipped`` counts
+    frames the ring overwrote unread (the drop metric; 0 = full rate
+    sustained), ``metric`` records per-batch latency.
+    """
+
+    def __init__(self, receiver: Receiver, tables, q_power: queue.Queue,
+                 metrics: PipelineMetrics, batch: int = 16,
+                 power_fn=None, sink=None, channels: int = 0):
+        super().__init__("heatmap_batched", metrics)
+        self.receiver = receiver
+        self.tables = tables
+        self.q_power = q_power
+        self.batch = batch
+        self.channels = channels
+        self.processed = 0
+        self.skipped = 0
+        self.sink = sink or self._default_sink
+        if power_fn is None:
+            # donation lets XLA reuse the input batch's HBM; CPU can't use
+            # it and warns, so only donate on device backends
+            donate = (0,) if jax.default_backend() != "cpu" else ()
+            n_full = receiver.cfg.n_microphones
+
+            @partial(jax.jit, donate_argnums=donate)
+            def _power(frames):
+                # channel-sliced transfers are padded back to the full
+                # mic axis on device (the tail rows are always zero)
+                pad = n_full - frames.shape[1]
+                if pad > 0:
+                    frames = jax.numpy.pad(frames,
+                                           ((0, 0), (0, pad), (0, 0)))
+                return beamform.steered_power(frames, tables)
+
+            power_fn = _power
+        self.power_fn = power_fn
+
+    def _default_sink(self, powers: np.ndarray, first_seq: int):
+        if not put_drop_oldest(self.q_power,
+                               (powers[-1], first_seq + len(powers) - 1)):
+            pass  # display drop only; processing already counted
+
+    def warmup(self):
+        n_ch = self.channels or self.receiver.cfg.n_microphones
+        zeros = np.zeros((self.batch, n_ch, self.receiver.cfg.n_samples),
+                         np.float32)
+        np.asarray(self.power_fn(jax.device_put(zeros)))
+
+    def _finish(self, pending):
+        out, first, t0 = pending
+        powers = np.asarray(out)
+        self.metric.tick(time.perf_counter() - t0)
+        self.processed += powers.shape[0]
+        self.sink(powers, first)
+
+    def run(self):
+        next_seq = 1
+        pending = None
+        while not self.stop_event.is_set():
+            try:
+                batch, first, skipped = self.receiver.read_batch(
+                    self.batch, next_seq, timeout=0.5,
+                    channels=self.channels)
+            except TimeoutError:
+                if pending is not None:
+                    self._finish(pending)
+                    pending = None
+                continue
+            next_seq = first + self.batch
+            if skipped:
+                self.skipped += skipped
+                self.metric.drop(skipped)
+            t0 = time.perf_counter()
+            dev = jax.device_put(batch)         # async H2D, double-buffered
+            out = self.power_fn(dev)            # async dispatch
+            if pending is not None:
+                self._finish(pending)           # sync batch i-1
+            pending = (out, first, t0)
+        if pending is not None:
+            self._finish(pending)
 
 
 class MisoProducer(Stage):
@@ -194,12 +295,12 @@ class Pipeline:
     def __init__(self, cfg: Optional[Config] = None, algorithm: str = "lerp",
                  replay_mode: bool = False, backend: str = "auto",
                  audio_sink: str = "null", audio_path: Optional[str] = None,
-                 power_fn=None):
+                 power_fn=None, ring_frames: int = 64):
         self.cfg = cfg or Config()
         self.metrics = PipelineMetrics()
         self.tables = beamform.make_tables(self.cfg, algorithm)
         self.receiver = Receiver(self.cfg, replay_mode=replay_mode,
-                                 backend=backend)
+                                 backend=backend, ring_frames=ring_frames)
         self.q_power: queue.Queue = queue.Queue(maxsize=2)
         self.q_viewer: queue.Queue = queue.Queue(maxsize=2)
         self.q_yolo: queue.Queue = queue.Queue(maxsize=2)
@@ -227,6 +328,30 @@ class Pipeline:
         self.stages.append(s)
         s.start()
         return s
+
+    def make_heatmap_batched(self, batch: int = 16, sink=None,
+                             channels: int = 0):
+        """Build (but don't start) the full-line-rate stage — lets callers
+        :meth:`BatchedHeatmapProducer.warmup` (compile) before any packets
+        flow, then :meth:`run_stage` it after :meth:`connect`."""
+        return BatchedHeatmapProducer(self.receiver, self.tables,
+                                      self.q_power, self.metrics,
+                                      batch=batch, power_fn=self._power_fn,
+                                      sink=sink, channels=channels)
+
+    def run_stage(self, s):
+        self.stages.append(s)
+        s.start()
+        return s
+
+    def start_heatmap_batched(self, batch: int = 16, sink=None,
+                              warmup: bool = True):
+        """Full-line-rate variant of :meth:`start_heatmap` — every frame
+        beamformed in K-frame device batches (SURVEY §7 hard part b)."""
+        s = self.make_heatmap_batched(batch=batch, sink=sink)
+        if warmup:
+            s.warmup()
+        return self.run_stage(s)
 
     def start_miso(self, warmup: bool = True):
         sink = audio_mod.make_sink(self._audio_sink_kind,

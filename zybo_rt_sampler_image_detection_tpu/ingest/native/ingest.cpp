@@ -15,11 +15,14 @@
 #include <arpa/inet.h>
 #include <atomic>
 #include <chrono>
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
 #include <mutex>
 #include <netinet/in.h>
+#include <pthread.h>
+#include <sched.h>
 #include <string>
 #include <sys/socket.h>
 #include <sys/time.h>
@@ -41,8 +44,9 @@ struct Engine {
     // runtime
     int sock = -1;
     int n_arrays = 0;
+    int ring_cap = 64;              // frames held for batched readers
     std::vector<int> perm;          // logical mic -> stream index
-    std::vector<float> buf[2];      // double buffer (n_mics * n_samples)
+    std::vector<float> ring;        // ring_cap * n_mics * n_samples
     std::atomic<long long> seq{0};  // completed-frame sequence
     std::mutex mu;
     std::condition_variable cv;
@@ -65,26 +69,28 @@ struct MsgHeader {
 };
 #pragma pack(pop)
 
+std::vector<int> make_perm(int n_arrays, int rows, int cols, int n_mics,
+                           int exact);
+
 void build_perm() {
-    int n_ch = g.n_arrays * g.rows * g.cols;
-    g.perm.resize(n_ch);
-    int s = 0;
-    for (int n = 0; n < g.n_arrays; n++) {
-        for (int y = 0; y < g.rows; y++) {
-            int row = n * g.rows * g.cols + y * g.cols;
-            for (int x = 0; x < g.cols; x++) {
-                int idx;
-                if (y % 2 == 0) idx = row + x;
-                else if (g.exact_serpentine) idx = row + g.cols - x;
-                else idx = row + g.cols - 1 - x;
-                if (idx > g.n_mics - 1) idx = g.n_mics - 1;
-                g.perm[s++] = idx;
-            }
-        }
-    }
+    g.perm = make_perm(g.n_arrays, g.rows, g.cols, g.n_mics,
+                       g.exact_serpentine);
+}
+
+// Real-time priority for the packet threads: on a 1-core host the JAX
+// plugin's transfer serialization can starve them for hundreds of ms,
+// overflowing the socket buffer.  SCHED_FIFO (needs root / CAP_SYS_NICE;
+// silently skipped otherwise) preempts that work the moment a packet or
+// pacing deadline arrives.  Both threads block constantly (recv /
+// clock_nanosleep), so they cannot monopolize the core.
+void try_set_realtime(int prio) {
+    sched_param sp{};
+    sp.sched_priority = prio;
+    pthread_setschedparam(pthread_self(), SCHED_FIFO, &sp);
 }
 
 void recv_loop() {
+    try_set_realtime(20);
     const int n_ch = (int)g.perm.size();
     const size_t psize = sizeof(MsgHeader) + 4ull * g.n_mics;
     std::vector<uint8_t> pkt(psize);
@@ -114,11 +120,16 @@ void recv_loop() {
                 (float)((double)stream[g.perm[s]] * inv_norm);
         }
         if (step == g.n_samples - 1) {
-            long long sq = g.seq.load(std::memory_order_relaxed);
-            std::memcpy(g.buf[(sq + 1) % 2].data(), frame.data(),
-                        frame.size() * sizeof(float));
             {
+                // Frame ring slot (seq+1) % cap; write under the mutex so
+                // batched readers never observe a torn slot.  256 KB memcpy
+                // ~ 20 us, negligible at the 5.24 ms frame period.
                 std::lock_guard<std::mutex> lk(g.mu);
+                long long sq = g.seq.load(std::memory_order_relaxed);
+                std::memcpy(
+                    g.ring.data() + (size_t)((sq + 1) % g.ring_cap)
+                        * frame.size(),
+                    frame.data(), frame.size() * sizeof(float));
                 g.seq.store(sq + 1, std::memory_order_release);
             }
             g.cv.notify_all();
@@ -126,6 +137,97 @@ void recv_loop() {
             // Zero the assembly buffer so packets lost in any later frame
             // leave zeros (the documented contract), not stale samples.
             std::memset(frame.data(), 0, frame.size() * sizeof(float));
+        }
+    }
+}
+
+std::vector<int> make_perm(int n_arrays, int rows, int cols, int n_mics,
+                           int exact) {
+    std::vector<int> perm((size_t)n_arrays * rows * cols);
+    int s = 0;
+    for (int n = 0; n < n_arrays; n++) {
+        for (int y = 0; y < rows; y++) {
+            int row = n * rows * cols + y * cols;
+            for (int x = 0; x < cols; x++) {
+                int idx;
+                if (y % 2 == 0) idx = row + x;
+                else if (exact) idx = row + cols - x;
+                else idx = row + cols - 1 - x;
+                if (idx > n_mics - 1) idx = n_mics - 1;
+                perm[s++] = idx;
+            }
+        }
+    }
+    return perm;
+}
+
+// ---------------------------------------------------------------------------
+// Native packet emulator (udp/streamer.c parity at true line rate).
+//
+// The Python packet generator costs ~93% of a core at 48,828 pkt/s; this
+// thread prebuilds every datagram for one signal cycle (serpentine inverse
+// + int32 quantization done once) and the hot loop is sendto + an absolute-
+// deadline nanosleep — a few percent of a core.  Counters keep increasing
+// across cycles (the header counter is patched in place each cycle).
+// ---------------------------------------------------------------------------
+
+struct Emulator {
+    int sock = -1;
+    sockaddr_in dst{};
+    size_t psize = 0;
+    int n_steps = 0;                 // packets per cycle
+    std::vector<uint8_t> pkts;       // n_steps * psize, counters pre-set
+    double interval = 0.0;           // seconds per packet (0 = unpaced)
+    std::thread thr;
+    std::atomic<bool> stop{false};
+    std::atomic<long long> sent{0};
+};
+
+Emulator e;
+
+void emulate_loop() {
+    try_set_realtime(10);
+    timespec next{};
+    clock_gettime(CLOCK_MONOTONIC, &next);
+    // nanosleep wake latency is ~50 us, far above the 20.5 us per-packet
+    // interval at 48,828 pkt/s — pace in chunks of 8 packets (164 us),
+    // sending each chunk back-to-back (the real FPGA bursts too; the
+    // receiver's socket buffer absorbs far larger bursts than this).
+    const int CHUNK = 8;
+    const long long step_ns = (long long)(e.interval * 1e9);
+    const long long chunk_ns = step_ns * CHUNK;
+    while (!e.stop.load(std::memory_order_relaxed)) {
+        for (int i = 0; i < e.n_steps; i++) {
+            if (e.stop.load(std::memory_order_relaxed)) return;
+            sendto(e.sock, e.pkts.data() + (size_t)i * e.psize, e.psize, 0,
+                   (sockaddr*)&e.dst, sizeof(e.dst));
+            e.sent++;
+            if (step_ns > 0 && (i % CHUNK) == CHUNK - 1) {
+                next.tv_nsec += chunk_ns;
+                while (next.tv_nsec >= 1000000000) {
+                    next.tv_nsec -= 1000000000; next.tv_sec += 1;
+                }
+                // Re-anchor after a long stall (vCPU steal / descheduling)
+                // instead of bursting the backlog at wire speed — a real
+                // FPGA paused with us would not burst either, and the
+                // catch-up flood overflows the receive buffer.
+                timespec now{};
+                clock_gettime(CLOCK_MONOTONIC, &now);
+                long long behind_ns =
+                    (now.tv_sec - next.tv_sec) * 1000000000ll +
+                    (now.tv_nsec - next.tv_nsec);
+                if (behind_ns > 250000000ll) {
+                    next = now;
+                } else if (behind_ns < 0) {
+                    clock_nanosleep(CLOCK_MONOTONIC, TIMER_ABSTIME, &next,
+                                    nullptr);
+                }
+            }
+        }
+        // next cycle: advance every packet counter by one cycle length
+        for (int i = 0; i < e.n_steps; i++) {
+            MsgHeader* h = (MsgHeader*)(e.pkts.data() + (size_t)i * e.psize);
+            h->counter += (uint32_t)e.n_steps;
         }
     }
 }
@@ -138,18 +240,23 @@ extern "C" {
 // -3 header timeout, -4 protocol mismatch.
 int zrt_ingest_connect(const char* ip, int port, int n_mics, int n_samples,
                        int rows, int cols, double norm, int protocol_ver,
-                       int exact_serpentine, double header_timeout_s) {
+                       int exact_serpentine, double header_timeout_s,
+                       int ring_frames) {
     g.n_mics = n_mics; g.n_samples = n_samples; g.rows = rows; g.cols = cols;
     g.norm = norm; g.protocol_ver = protocol_ver;
     g.exact_serpentine = exact_serpentine;
+    g.ring_cap = ring_frames > 1 ? ring_frames : 64;
     g.stop.store(false);
     g.packets = 0; g.frames = 0; g.gaps = 0; g.bad_proto = 0;
     g.last_counter = -1; g.seq = 0;
 
     g.sock = socket(AF_INET, SOCK_DGRAM, IPPROTO_UDP);
     if (g.sock < 0) return -1;
-    int rcvbuf = 1 << 22;
-    setsockopt(g.sock, SOL_SOCKET, SO_RCVBUF, &rcvbuf, sizeof(rcvbuf));
+    int rcvbuf = 1 << 25;   // absorb dispatch-length bursts
+    // FORCE variant (root) bypasses rmem_max; fall back to the capped one
+    if (setsockopt(g.sock, SOL_SOCKET, SO_RCVBUFFORCE, &rcvbuf,
+                   sizeof(rcvbuf)) != 0)
+        setsockopt(g.sock, SOL_SOCKET, SO_RCVBUF, &rcvbuf, sizeof(rcvbuf));
     sockaddr_in addr{};
     addr.sin_family = AF_INET;
     addr.sin_port = htons((uint16_t)port);
@@ -172,8 +279,7 @@ int zrt_ingest_connect(const char* ip, int port, int n_mics, int n_samples,
     g.last_counter = h->counter;
 
     build_perm();
-    g.buf[0].assign((size_t)n_mics * n_samples, 0.0f);
-    g.buf[1].assign((size_t)n_mics * n_samples, 0.0f);
+    g.ring.assign((size_t)g.ring_cap * n_mics * n_samples, 0.0f);
 
     timeval tv2{0, 200000};  // 200 ms poll so stop() is responsive
     setsockopt(g.sock, SOL_SOCKET, SO_RCVTIMEO, &tv2, sizeof(tv2));
@@ -186,6 +292,7 @@ int zrt_ingest_connect(const char* ip, int port, int n_mics, int n_samples,
 // Returns the frame sequence, or -1 on timeout.
 long long zrt_ingest_read(float* out, int fresh, long long last_seq,
                           int timeout_ms) {
+    const size_t fsz = (size_t)g.n_mics * g.n_samples;
     std::unique_lock<std::mutex> lk(g.mu);
     if (fresh) {
         bool ok = g.cv.wait_for(lk, std::chrono::milliseconds(timeout_ms),
@@ -193,9 +300,47 @@ long long zrt_ingest_read(float* out, int fresh, long long last_seq,
         if (!ok) return -1;
     }
     long long sq = g.seq.load(std::memory_order_acquire);
-    std::memcpy(out, g.buf[sq % 2].data(),
-                g.buf[sq % 2].size() * sizeof(float));
+    std::memcpy(out, g.ring.data() + (size_t)(sq % g.ring_cap) * fsz,
+                fsz * sizeof(float));
     return sq;
+}
+
+// Copy k counter-contiguous frames starting at max(next_seq, oldest still
+// in the ring) into out ((k, out_channels, n_samples) floats, oldest
+// first; out_channels <= 0 means all n_mics rows — pass the connected
+// channel count n_arrays*rows*cols to skip the always-zero tail rows and
+// shrink the host->device transfer).  Blocks until k frames past next_seq
+// exist (timeout_ms).  *skipped gets the number of frames the ring
+// overwrote before the reader got to them (0 when the reader keeps up).
+// Returns the sequence of out[0], or -1 on timeout.  This is the
+// full-line-rate path: every frame the receiver writes (receiver.c:94-151
+// writes all of them) is delivered exactly once to a batched consumer.
+long long zrt_ingest_read_batch(float* out, int k, long long next_seq,
+                                int timeout_ms, long long* skipped,
+                                int out_channels) {
+    const size_t fsz = (size_t)g.n_mics * g.n_samples;
+    const int n_ch = (out_channels > 0 && out_channels <= g.n_mics)
+                         ? out_channels : g.n_mics;
+    const size_t osz = (size_t)n_ch * g.n_samples;
+    if (k < 1 || k > g.ring_cap) return -2;
+    if (next_seq < 1) next_seq = 1;
+    std::unique_lock<std::mutex> lk(g.mu);
+    bool ok = g.cv.wait_for(lk, std::chrono::milliseconds(timeout_ms),
+                            [&] { return g.seq.load() >= next_seq + k - 1 ||
+                                         g.stop.load(); });
+    if (!ok || g.stop.load()) return -1;
+    long long sq = g.seq.load(std::memory_order_acquire);
+    long long first = next_seq;
+    long long oldest = sq - g.ring_cap + 1;
+    if (first < oldest) first = oldest;
+    *skipped = first - next_seq;
+    for (int i = 0; i < k; i++) {
+        long long s = first + i;
+        std::memcpy(out + (size_t)i * osz,
+                    g.ring.data() + (size_t)(s % g.ring_cap) * fsz,
+                    osz * sizeof(float));
+    }
+    return first;
 }
 
 void zrt_ingest_stats(long long* packets, long long* frames, long long* gaps,
@@ -204,8 +349,74 @@ void zrt_ingest_stats(long long* packets, long long* frames, long long* gaps,
     *gaps = g.gaps.load(); *bad_proto = g.bad_proto.load();
 }
 
+// Start streaming `sig` ((n_ch_logical, n_steps) float32, row-major) as
+// protocol-v2 datagrams to ip:port at `rate` packets/s (0 = unpaced),
+// preceded by one header packet; cycles forever until zrt_emulate_stop.
+// Returns 0 on success, -1 on socket error.
+int zrt_emulate_start(const char* ip, int port, int n_mics, int rows,
+                      int cols, int n_arrays, int protocol_ver,
+                      int exact_serpentine, double rate, const float* sig,
+                      long long n_steps, double norm) {
+    e.stop.store(true);
+    if (e.thr.joinable()) e.thr.join();
+    if (e.sock >= 0) { close(e.sock); e.sock = -1; }
+    e.stop.store(false);
+    e.sent = 0;
+
+    e.sock = socket(AF_INET, SOCK_DGRAM, IPPROTO_UDP);
+    if (e.sock < 0) return -1;
+    e.dst = sockaddr_in{};
+    e.dst.sin_family = AF_INET;
+    e.dst.sin_port = htons((uint16_t)port);
+    e.dst.sin_addr.s_addr = inet_addr(ip);
+
+    const int n_ch = n_arrays * rows * cols;
+    std::vector<int> perm = make_perm(n_arrays, rows, cols, n_mics,
+                                      exact_serpentine);
+    e.psize = sizeof(MsgHeader) + 4ull * n_mics;
+    e.n_steps = (int)n_steps;
+    e.pkts.assign((size_t)n_steps * e.psize, 0);
+    for (long long i = 0; i < n_steps; i++) {
+        uint8_t* p = e.pkts.data() + (size_t)i * e.psize;
+        MsgHeader* h = (MsgHeader*)p;
+        h->frequency = 0;
+        h->n_arrays = (int8_t)n_arrays;
+        h->protocol_ver = (int8_t)protocol_ver;
+        h->counter = (uint32_t)i;
+        int32_t* stream = (int32_t*)(p + sizeof(MsgHeader));
+        for (int s = 0; s < n_ch; s++) {
+            double v = (double)sig[(size_t)s * n_steps + i] * norm;
+            if (v > 2147483647.0) v = 2147483647.0;
+            if (v < -2147483648.0) v = -2147483648.0;
+            // last-writer-wins on clamped collisions, like the C read
+            stream[perm[s]] = (int32_t)llround(v);
+        }
+    }
+
+    // header packet (counter = -1 so gap accounting stays continuous)
+    std::vector<uint8_t> hdr(e.psize, 0);
+    MsgHeader* h = (MsgHeader*)hdr.data();
+    h->n_arrays = (int8_t)n_arrays;
+    h->protocol_ver = (int8_t)protocol_ver;
+    h->counter = 0xFFFFFFFFu;
+    sendto(e.sock, hdr.data(), e.psize, 0, (sockaddr*)&e.dst, sizeof(e.dst));
+
+    e.interval = rate > 0 ? 1.0 / rate : 0.0;
+    e.thr = std::thread(emulate_loop);
+    return 0;
+}
+
+void zrt_emulate_stop() {
+    e.stop.store(true);
+    if (e.thr.joinable()) e.thr.join();
+    if (e.sock >= 0) { close(e.sock); e.sock = -1; }
+}
+
+long long zrt_emulate_sent() { return e.sent.load(); }
+
 void zrt_ingest_disconnect() {
     g.stop.store(true);
+    g.cv.notify_all();                  // wake blocked batch readers
     if (g.thr.joinable()) g.thr.join();
     if (g.sock >= 0) { close(g.sock); g.sock = -1; }
 }

@@ -42,21 +42,33 @@ class NativeIngest:
         lib.zrt_ingest_connect.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_int,
-            ctypes.c_int, ctypes.c_double]
+            ctypes.c_int, ctypes.c_double, ctypes.c_int]
         lib.zrt_ingest_read.restype = ctypes.c_longlong
         lib.zrt_ingest_read.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_longlong,
             ctypes.c_int]
+        lib.zrt_ingest_read_batch.restype = ctypes.c_longlong
+        lib.zrt_ingest_read_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_longlong,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_longlong), ctypes.c_int]
         lib.zrt_ingest_stats.argtypes = [ctypes.POINTER(ctypes.c_longlong)] * 4
+        lib.zrt_emulate_start.restype = ctypes.c_int
+        lib.zrt_emulate_start.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_longlong, ctypes.c_double]
+        lib.zrt_emulate_sent.restype = ctypes.c_longlong
         self._cfg = None
 
     def connect(self, cfg, ip: str, timeout: float,
-                exact_reference: bool) -> int:
+                exact_reference: bool, ring_frames: int = 64) -> int:
         self._cfg = cfg
         rc = self._lib.zrt_ingest_connect(
             ip.encode(), cfg.udp_port, cfg.n_microphones, cfg.n_samples,
             cfg.rows, cfg.columns, cfg.norm_factor,
-            cfg.fpga_protocol_version, int(exact_reference), float(timeout))
+            cfg.fpga_protocol_version, int(exact_reference), float(timeout),
+            int(ring_frames))
         if rc == -4:
             raise ConnectionError("wrong FPGA protocol version")
         if rc < 0:
@@ -74,6 +86,50 @@ class NativeIngest:
         if seq < 0:
             raise TimeoutError("no fresh frame within timeout")
         return out, int(seq)
+
+    def read_batch(self, k: int, next_seq: int, timeout: Optional[float],
+                   channels: int = 0):
+        """k counter-contiguous frames, oldest first ->
+        ((k, channels or n_mics, n_samples) float32, first_seq, skipped).
+        ``channels`` > 0 copies only the leading connected rows."""
+        cfg = self._cfg
+        n_ch = channels if 0 < channels <= cfg.n_microphones \
+            else cfg.n_microphones
+        out = np.empty((k, n_ch, cfg.n_samples), np.float32)
+        skipped = ctypes.c_longlong(0)
+        ms = int((timeout or 5.0) * 1000)
+        first = self._lib.zrt_ingest_read_batch(
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            int(k), int(next_seq), ms, ctypes.byref(skipped), n_ch)
+        if first == -2:
+            raise ValueError("batch size exceeds the ring capacity")
+        if first < 0:
+            raise TimeoutError("no frame batch within timeout")
+        return out, int(first), int(skipped.value)
+
+    # -- native packet emulator (streamer.c parity at true line rate) -------
+
+    def emulate_start(self, cfg, signal: np.ndarray, rate: Optional[float],
+                      n_arrays: int, ip: str, port: int,
+                      exact_reference: bool = True) -> None:
+        sig = np.ascontiguousarray(signal, dtype=np.float32)
+        self._emulate_sig = sig        # keep alive: C thread reads it once
+        rc = self._lib.zrt_emulate_start(
+            ip.encode(), int(port), cfg.n_microphones, cfg.rows,
+            cfg.columns, int(n_arrays), cfg.fpga_protocol_version,
+            int(exact_reference), float(rate or 0.0),
+            sig.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            sig.shape[1], cfg.norm_factor)
+        if rc != 0:
+            raise OSError(f"native emulator failed to start ({rc})")
+
+    def emulate_stop(self) -> int:
+        sent = int(self._lib.zrt_emulate_sent())
+        self._lib.zrt_emulate_stop()
+        return sent
+
+    def emulate_sent(self) -> int:
+        return int(self._lib.zrt_emulate_sent())
 
     def stats(self):
         vals = [ctypes.c_longlong() for _ in range(4)]

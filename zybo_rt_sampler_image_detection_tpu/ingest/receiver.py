@@ -41,31 +41,38 @@ class IngestStats:
     last_counter: int = -1
 
 
-class LatestFrameBuffer:
-    """Single-producer / multi-consumer latest-value buffer (seqlock).
+class FrameRing:
+    """Single-producer / multi-consumer frame ring.
 
-    The producer publishes complete (n_mics, n_samples) frames; readers get
-    a consistent snapshot of the newest one.  ``wait_fresh`` blocks until a
-    frame newer than the caller's last seen sequence arrives — the
-    semaphore-guarded ``get_data`` semantics (``api.c:830-859``) without
-    shared mutable state across processes.
+    The producer publishes complete (n_mics, n_samples) frames into a ring
+    of ``capacity`` slots; readers either snapshot the newest one (the
+    semaphore-guarded ``get_data`` semantics, ``api.c:830-859``, without
+    shared mutable state across processes) or drain *every* frame in
+    counter-contiguous batches via :meth:`read_batch` — the full-line-rate
+    path the reference's latest-frame snapshot could never offer
+    (``receiver.c:94-151`` writes every frame; ``get_data`` samples them).
     """
 
-    def __init__(self, n_mics: int, n_samples: int):
-        self._buf = np.zeros((2, n_mics, n_samples), dtype=np.float32)
+    def __init__(self, n_mics: int, n_samples: int, capacity: int = 64):
+        self._buf = np.zeros((capacity, n_mics, n_samples), dtype=np.float32)
+        self._cap = capacity
         self._seq = 0
         self._cond = threading.Condition()
 
+    @property
+    def capacity(self) -> int:
+        return self._cap
+
     def publish(self, frame: np.ndarray) -> None:
         with self._cond:
-            self._buf[(self._seq + 1) % 2] = frame
+            self._buf[(self._seq + 1) % self._cap] = frame
             self._seq += 1
             self._cond.notify_all()
 
     def snapshot(self, out: Optional[np.ndarray] = None):
         with self._cond:
             seq = self._seq
-            src = self._buf[seq % 2]
+            src = self._buf[seq % self._cap]
             if out is None:
                 return src.copy(), seq
             out[...] = src
@@ -76,8 +83,38 @@ class LatestFrameBuffer:
             ok = self._cond.wait_for(lambda: self._seq > last_seq, timeout)
             if not ok:
                 return None, last_seq
-            src = self._buf[self._seq % 2]
+            src = self._buf[self._seq % self._cap]
             return src.copy(), self._seq
+
+    def read_batch(self, k: int, next_seq: int,
+                   timeout: Optional[float] = None, channels: int = 0):
+        """k counter-contiguous frames starting at max(next_seq, oldest
+        still in the ring), oldest first.
+
+        Returns ``(batch (k, M, N) float32, first_seq, skipped)`` where
+        ``skipped`` counts frames overwritten before the reader got to them
+        (0 when the reader keeps up).  ``channels`` > 0 returns only the
+        leading connected rows.  Returns ``(None, next_seq, 0)`` on
+        timeout.
+        """
+        if not 1 <= k <= self._cap:
+            raise ValueError("batch size exceeds the ring capacity")
+        next_seq = max(int(next_seq), 1)
+        with self._cond:
+            ok = self._cond.wait_for(
+                lambda: self._seq >= next_seq + k - 1, timeout)
+            if not ok:
+                return None, next_seq, 0
+            first = max(next_seq, self._seq - self._cap + 1)
+            idx = np.arange(first, first + k) % self._cap
+            src = self._buf[idx]
+            if 0 < channels < src.shape[1]:
+                src = src[:, :channels]
+            return src.copy(), first, first - next_seq
+
+
+# Backwards-compatible alias (the round-1 name for the latest-frame case).
+LatestFrameBuffer = FrameRing
 
 
 class Receiver:
@@ -88,12 +125,15 @@ class Receiver:
     """
 
     def __init__(self, cfg: Config, replay_mode: bool = False,
-                 backend: str = "auto", exact_reference: bool = True):
+                 backend: str = "auto", exact_reference: bool = True,
+                 ring_frames: int = 64):
         self.cfg = cfg
         self.replay_mode = replay_mode
         self.exact_reference = exact_reference
+        self.ring_frames = ring_frames
         self.stats = IngestStats()
-        self.buffer = LatestFrameBuffer(cfg.n_microphones, cfg.n_samples)
+        self.buffer = FrameRing(cfg.n_microphones, cfg.n_samples,
+                                capacity=ring_frames)
         self.n_arrays: Optional[int] = None
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -171,6 +211,35 @@ class Receiver:
             frame[self._dead_rows] = 0.0
         return frame, seq
 
+    def read_batch(self, k: int, next_seq: int = 1,
+                   timeout: Optional[float] = 5.0, channels: int = 0):
+        """``k`` counter-contiguous frames, oldest first, each delivered
+        exactly once — the full-line-rate consumer API.
+
+        Returns ``(batch (k, M, N) float32, first_seq, skipped)``; pass
+        ``first_seq + k`` as the next call's ``next_seq``.  ``skipped`` > 0
+        means the consumer fell more than ``ring_frames`` behind and that
+        many frames were overwritten unread.  ``channels`` > 0 returns only
+        the leading connected rows (``n_arrays * rows * cols``; the tail
+        rows are never written and shrink host->device transfers for
+        nothing).  Dead-mic mask applied.  Raises :class:`TimeoutError`
+        when k frames don't arrive in time.
+        """
+        if self._native is not None:
+            batch, first, skipped = self._native.read_batch(
+                k, next_seq, timeout, channels=channels)
+        else:
+            batch, first, skipped = self.buffer.read_batch(
+                k, next_seq, timeout, channels=channels)
+            if batch is None:
+                raise TimeoutError("no frame batch within timeout")
+        dead = self._dead_rows
+        if dead.size:
+            if channels:
+                dead = dead[dead < batch.shape[1]]
+            batch[:, dead] = 0.0
+        return batch, first, skipped
+
     # -- python receive loop --------------------------------------------------
 
     def _py_loop(self) -> None:
@@ -221,7 +290,8 @@ class Receiver:
         cfg = self.cfg
         ip = cfg.udp_replay_ip if self.replay_mode else cfg.udp_ip
         self.n_arrays = self._native.connect(
-            cfg, ip, timeout, self.exact_reference)
+            cfg, ip, timeout, self.exact_reference,
+            ring_frames=self.ring_frames)
         return self.n_arrays
 
     @property
