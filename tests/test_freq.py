@@ -107,3 +107,83 @@ def test_batched_covariance_update(tiny_cfg, rng):
     mean_re = np.mean([np.asarray(s.R_re) for s in singles], axis=0)
     np.testing.assert_allclose(np.asarray(s_batch.R_re), mean_re,
                                rtol=2e-4, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# FFT-stack fidelity profile (Config.fft_reference, round 2)
+# ---------------------------------------------------------------------------
+
+def test_fft_r_prime_matches_oracle():
+    """geometry.r_prime_fft == the literal calc_r_prime.py transcription,
+    including camera_offset and a nonzero ARRAY_SEPARATION."""
+    for cfg in (zrt.Config.fft_reference(),
+                zrt.Config.fft_reference().replace(array_separation=0.08),
+                zrt.Config.fft_reference().replace(active_arrays=2,
+                                                   array_slots=2,
+                                                   n_microphones=128)):
+        got_all, got_act = geometry.r_prime_fft(cfg)
+        ref_all, ref_act = oracle.fft_r_prime(cfg)
+        np.testing.assert_array_equal(got_all, ref_all)
+        np.testing.assert_array_equal(got_act, ref_act)
+
+
+def test_fft_reference_preset_fields():
+    """The preset reproduces the divergent realtime_scripts/config.py."""
+    cfg = zrt.Config.fft_reference()
+    assert (cfg.max_res_x, cfg.max_res_y) == (13, 13)
+    assert cfg.propagation_speed == 343.0
+    assert cfg.active_arrays == 4 and cfg.view_angle == 68.0
+    assert cfg.camera_offset == 0.11 and cfg.n_taps == 64
+    assert (cfg.freq_band_low, cfg.freq_band_high) == (0.0, 18000.0)
+    assert cfg.fft_mic_model == "fft"
+
+
+def test_fft_reference_phase_tensor_matches_oracle():
+    cfg = zrt.Config.fft_reference()
+    phase, (lo, hi) = geometry.phase_shift_tensor(cfg)
+    ref, (rlo, rhi) = oracle.fft_phase_shift(cfg)
+    assert (lo, hi) == (rlo, rhi)
+    np.testing.assert_allclose(phase, ref.astype(np.complex64),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fft_reference_backend_e2e():
+    """Full web backend-3 parity on the shipped config: receive ->
+    rfft -> phase shift -> power -> normalize, vs the oracle."""
+    cfg = zrt.Config.fft_reference()
+    rng = np.random.default_rng(33)
+    frame = (rng.standard_normal(
+        (cfg.n_microphones, cfg.n_samples)) * 0.3).astype(np.float32)
+    t = freq.make_freq_tables(cfg)
+    ref_phase, (lo, hi) = oracle.fft_phase_shift(cfg)
+    ref = oracle.fft_mimo(frame.T.astype(np.float64), ref_phase, lo, hi)
+    got = np.asarray(freq.normalize_heatmap(freq.fft_steered_power(frame, t)))
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=1e-5)
+
+
+@pytest.mark.parametrize("band", [(0.0, None), (2000.0, 20000.0)])
+def test_peak_detection_matches_oracle(tiny_cfg, band):
+    """freq.peak_detection == beam_forming_algorithm.py:37-48 verbatim,
+    including the double slice by the lower band index (band[0] > 0)."""
+    cfg = tiny_cfg
+    t = freq.make_freq_tables(cfg, *band)
+    rng = np.random.default_rng(44)
+    for trial in range(3):
+        frame = (rng.standard_normal(
+            (cfg.n_microphones, cfg.n_samples)) * 0.2).astype(np.float32)
+        power_f = np.asarray(freq.fft_power_spectrum(frame, t))
+        ref = oracle.fft_peak_detection(
+            power_f.astype(np.float64), 0.8, 0.1, t.lo,
+            cfg.max_res_x, cfg.max_res_y)
+        got = np.asarray(freq.peak_detection(power_f, t))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-7)
+
+
+def test_peak_detection_threshold_gates(tiny_cfg):
+    """Below threshold_lower nothing qualifies -> all-zero map."""
+    t = freq.make_freq_tables(tiny_cfg, 0.0, None)
+    F = t.hi - t.lo
+    power_f = np.full((F, tiny_cfg.max_res_x, tiny_cfg.max_res_y), 1e-6,
+                      np.float32)
+    got = np.asarray(freq.peak_detection(power_f, t, 0.8, 0.1))
+    assert np.all(got == 0.0)

@@ -35,11 +35,18 @@ def _add_common(p):
     p.add_argument("--frames", type=int, default=0,
                    help="stop after N heatmaps (0 = run until ^C)")
     p.add_argument("--port", type=int, default=None, help="UDP port override")
+    p.add_argument("--preset", default="default",
+                   choices=["default", "reference", "fft"],
+                   help="config preset: default (config.json parity), "
+                        "reference (+ dead-mic list), fft (the web "
+                        "backend-3 profile: 13x13, c=343, 4 arrays, "
+                        "0-18 kHz, camera offset)")
 
 
 def _make_pipeline(args, audio_sink="null", audio_path=None,
                    ring_frames: int = 64) -> Pipeline:
-    cfg = Config()
+    cfg = {"default": Config, "reference": Config.reference,
+           "fft": Config.fft_reference}[getattr(args, "preset", "default")]()
     if args.port:
         cfg = cfg.replace(udp_port=args.port)
     power_fn = None

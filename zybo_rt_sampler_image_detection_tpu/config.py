@@ -77,6 +77,21 @@ class Config:
     # 8x8 boards) independent of ACTIVE_ARRAYS.
     array_slots: int = 4
 
+    # --- FFT-stack geometry (PC/application/realtime_scripts) -------------
+    # The FFT-domain backend carries its own mic model
+    # (realtime_scripts/calc_r_prime.py:7,17-20): the array plane is shifted
+    # down by the camera mount offset and the boards are spread by a gap.
+    camera_offset: float = 0.0        # camera_offset [m] (calc_r_prime.py:7)
+    array_separation: float = 0.0     # ARRAY_SEPARATION [m] (config.py:19)
+    # Which mic model feeds the FFT-domain phase tensor: "main" (the
+    # directions.pyx geometry, round-1 behaviour) or "fft" (the
+    # calc_r_prime.py geometry with camera_offset/array_separation).
+    fft_mic_model: str = "main"
+    # rfft band limits [Hz] for the FFT-domain backend
+    # (threshold_freq_lower/upper, realtime_scripts/config.py:47-48).
+    freq_band_low: float = 0.0
+    freq_band_high: float = -1.0      # -1 => Nyquist
+
     # --- transport (config.json "general") ---
     udp_ip: str = "10.0.0.1"          # UDP_IP
     udp_replay_ip: str = "127.0.0.1"  # UDP_REPLAY_IP
@@ -149,6 +164,29 @@ class Config:
         """The exact hardware config of the reference system, including its
         dead-microphone list (api.c:835-851)."""
         return cls(disabled_mics=REFERENCE_DEAD_MICS)
+
+    @classmethod
+    def fft_reference(cls) -> "Config":
+        """The FFT-domain backend's own (divergent) config, as the web app
+        ships it (``PC/application/realtime_scripts/config.py:6-49``):
+        13x13 grid, 68 deg window, c = 343 m/s, 4 active arrays, 64 taps,
+        0-18 kHz band, camera offset 0.11 m, zero array separation, mode 1
+        (all mics).  Use this to reproduce web backend-3 output exactly."""
+        return cls(
+            n_taps=64,                 # N_TAPS (config.py:8)
+            max_res_x=13,              # MAX_RES_X (config.py:12)
+            max_res_y=13,              # MAX_RES_Y (config.py:13)
+            max_angle=68.0,            # MAX_ANGLE (config.py:15)
+            view_angle=68.0,           # VIEW_ANGLE (config.py:16)
+            propagation_speed=343.0,   # PROPAGATION_SPEED (config.py:22)
+            active_arrays=4,           # ACTIVE_ARRAYS (config.py:20)
+            array_slots=4,
+            camera_offset=0.11,        # calc_r_prime.py:7
+            array_separation=0.0,      # ARRAY_SEPARATION (config.py:19)
+            fft_mic_model="fft",
+            freq_band_low=0.0,         # threshold_freq_lower (config.py:47)
+            freq_band_high=18000.0,    # threshold_freq_upper (config.py:48)
+        )
 
     @classmethod
     def northstar(cls) -> "Config":

@@ -55,8 +55,15 @@ class FreqTables:
     n_samples: int = dataclasses.field(metadata=dict(static=True))
 
 
-def make_freq_tables(cfg: Config, freq_low: float = 0.0,
+def make_freq_tables(cfg: Config, freq_low: Optional[float] = None,
                      freq_high: Optional[float] = None) -> FreqTables:
+    """Band limits default to the config's ``freq_band_low/high``
+    (``realtime_scripts/config.py:47-48`` threshold_freq_lower/upper);
+    the mic model follows ``cfg.fft_mic_model``."""
+    if freq_low is None:
+        freq_low = cfg.freq_band_low
+    if freq_high is None and cfg.freq_band_high > 0:
+        freq_high = cfg.freq_band_high
     phase, (lo, hi) = geometry.phase_shift_tensor(cfg, freq_low, freq_high)
     F, M, X, Y = phase.shape
     active, _ = geometry.active_microphones(cfg)
@@ -122,6 +129,52 @@ def normalize_heatmap(power: jax.Array, threshold: float = 0.2) -> jax.Array:
     by the max."""
     mx = jnp.max(power)
     return jnp.where(mx < threshold, jnp.zeros_like(power), power / mx)
+
+
+@jax.jit
+def fft_power_spectrum(signals: jax.Array, t: FreqTables) -> jax.Array:
+    """Per-frequency-bin steered power (B, F, X, Y) — the ``FFT_power``
+    intermediate of ``beam_forming_algorithm.main`` (line 53) before the
+    sum over frequencies; input to :func:`peak_detection`."""
+    squeeze = signals.ndim == 2
+    if squeeze:
+        signals = signals[None]
+    sr, si = _frame_fft(signals, t)
+    rr = jnp.einsum("bfm,fmd->bfd", sr, t.phase_re, precision=_HI)
+    ii = jnp.einsum("bfm,fmd->bfd", si, t.phase_im, precision=_HI)
+    ri = jnp.einsum("bfm,fmd->bfd", sr, t.phase_im, precision=_HI)
+    ir = jnp.einsum("bfm,fmd->bfd", si, t.phase_re, precision=_HI)
+    re_d = rr - ii
+    im_d = ri + ir
+    power = (re_d * re_d + im_d * im_d).reshape(
+        signals.shape[0], -1, t.res_x, t.res_y)
+    return power[0] if squeeze else power
+
+
+@jax.jit
+def peak_detection(power_f: jax.Array, t: FreqTables,
+                   threshold_upper: float = 0.8,
+                   threshold_lower: float = 0.1) -> jax.Array:
+    """Per-frequency-bin peak map (X, Y) — ``beam_forming_algorithm.py:
+    37-48`` (present upstream but disabled in its ``main()``).
+
+    For every bin whose grid maximum exceeds both ``threshold_upper *
+    global_max`` and ``threshold_lower``, the bin's peak value is written at
+    its argmax cell, keeping the largest across bins.  Reference quirk kept:
+    the function slices ``power_in[threshold_freq_lower_idx:]`` even though
+    its input already starts at that band index (line 39) — a double cut
+    whenever the lower band edge is above bin 0.
+    """
+    power = power_f[t.lo:]                       # the double-slice quirk
+    F = power.shape[0]
+    flat = power.reshape(F, -1)                  # (F, X*Y)
+    pmax = jnp.max(flat, axis=1)                 # (F,)
+    amax = jnp.argmax(flat, axis=1)              # first occurrence, like C
+    qual = (pmax > threshold_upper * jnp.max(pmax)) & (pmax > threshold_lower)
+    contrib = jnp.where(qual, pmax, 0.0)
+    onehot = jax.nn.one_hot(amax, flat.shape[1], dtype=power.dtype)
+    heat = jnp.max(onehot * contrib[:, None], axis=0)
+    return heat.reshape(t.res_x, t.res_y)
 
 
 # ---------------------------------------------------------------------------

@@ -86,6 +86,37 @@ def r_prime(cfg: Config) -> np.ndarray:
     return rp[:, active]
 
 
+def r_prime_fft(cfg: Config) -> tuple[np.ndarray, np.ndarray]:
+    """The FFT stack's own mic model (``realtime_scripts/calc_r_prime.py:
+    9-24``), which diverges from ``directions.pyx``: the plane is lowered by
+    the camera mount offset (``camera_offset``, line 7/18), boards are
+    spread by ``ARRAY_SEPARATION`` (line 17) with a recentring shift of
+    ``(ACTIVE_ARRAYS-1)*ARRAY_SEPARATION/2`` (line 20), and the layout loop
+    runs over ``ACTIVE_ARRAYS`` (not the 4 physical slots).
+
+    Returns ``(r_all (2, n_microphones), r_active (2, n_active))`` exactly
+    like the reference's ``(r_prime_all, r_prime)`` pair.
+    """
+    d = cfg.element_distance
+    half = d / 2
+    sep = cfg.array_separation
+    rp = np.zeros((2, cfg.n_microphones))
+    idx = 0
+    for array in range(cfg.active_arrays):
+        a = -array
+        for row in range(cfg.rows):
+            for col in range(cfg.columns):
+                rp[0, idx] = (-col * d - half + a * cfg.columns * d
+                              + a * sep
+                              + cfg.columns * cfg.active_arrays * half)
+                rp[1, idx] = (row * d - cfg.rows * half + half
+                              - cfg.camera_offset)
+                idx += 1
+    rp[0, :] += (cfg.active_arrays - 1) * sep / 2
+    active, _ = active_microphones(cfg)
+    return rp, rp[:, active]
+
+
 # ---------------------------------------------------------------------------
 # Delay models
 # ---------------------------------------------------------------------------
@@ -312,8 +343,9 @@ def hybrid_coefficients(cfg: Config) -> tuple[np.ndarray, np.ndarray]:
 
 def phase_shift_tensor(
     cfg: Config,
-    freq_low: float = 0.0,
+    freq_low: float | None = None,
     freq_high: float | None = None,
+    mic_model: str | None = None,
 ) -> tuple[np.ndarray, tuple[int, int]]:
     """Complex narrowband steering tensor for the FFT-domain beamformer.
 
@@ -321,12 +353,26 @@ def phase_shift_tensor(
     [freq_low, freq_high) and every active mic, the phase advance toward each
     (x, y) scan point: ``exp(-j·k·(x·xi + y·yi)/r_scan)``.
 
+    ``mic_model`` selects the coordinates (default ``cfg.fft_mic_model``):
+    ``"main"`` = the directions.pyx geometry; ``"fft"`` = the FFT stack's
+    own :func:`r_prime_fft` with camera offset / array separation —
+    required to reproduce web backend-3 as shipped
+    (use ``Config.fft_reference()``).
+
     Returns ``(phase (F, M, X, Y) complex64, (lo_idx, hi_idx))`` where
     lo/hi are the rfft bin bounds selected.
     """
+    if freq_low is None:
+        freq_low = cfg.freq_band_low
     if freq_high is None:
-        freq_high = cfg.sample_rate / 2
-    rp = r_prime(cfg)
+        freq_high = (cfg.freq_band_high if cfg.freq_band_high > 0
+                     else cfg.sample_rate / 2)
+    if mic_model is None:
+        mic_model = cfg.fft_mic_model
+    if mic_model == "fft":
+        _, rp = r_prime_fft(cfg)
+    else:
+        rp = r_prime(cfg)
     x_i = rp[0, :].reshape(1, -1, 1, 1)
     y_i = rp[1, :].reshape(1, -1, 1, 1)
 

@@ -200,3 +200,78 @@ def fft_mimo(signal_tm, phase_shift, lo, hi, threshold_heatmap=0.2):
     else:
         heatmap = heatmap / heatmap.max()
     return heatmap
+
+
+def fft_r_prime(cfg):
+    """``realtime_scripts/calc_r_prime.py:9-24`` — the FFT stack's own mic
+    model with camera_offset / ARRAY_SEPARATION; returns (r_all, r_active)
+    like the reference's (r_prime_all, r_prime)."""
+    d = cfg.element_distance
+    half = d / 2
+    r_prime = np.zeros((2, cfg.n_microphones))
+    element_index = 0
+    for array in range(cfg.active_arrays):
+        array *= -1
+        for row in range(cfg.rows):
+            for col in range(cfg.columns):
+                r_prime[0, element_index] = (
+                    -col * d - half + array * cfg.columns * d
+                    + array * cfg.array_separation
+                    + cfg.columns * cfg.active_arrays * half)
+                r_prime[1, element_index] = (
+                    row * d - cfg.rows * half + half - cfg.camera_offset)
+                element_index += 1
+    r_prime[0, :] += (cfg.active_arrays - 1) * cfg.array_separation / 2
+    from . import geometry
+    active, _ = geometry.active_microphones(cfg)
+    return r_prime, r_prime[:, active]
+
+
+def fft_phase_shift(cfg, lo=None, hi=None):
+    """``realtime_scripts/calc_phase_shift_cartesian.py:7-51`` — the full
+    4-D complex steering tensor over the FFT stack's own geometry/config.
+    Returns (phase (F, M_active, X, Y) complex, (lo, hi))."""
+    c = cfg.propagation_speed
+    fs = int(cfg.sample_rate)
+    N = cfg.n_samples
+    theta_max = cfg.view_angle / 2
+    r_prime_all, _ = fft_r_prime(cfg)
+    x_i = r_prime_all[0, :].reshape(1, -1, 1, 1)
+    y_i = r_prime_all[1, :].reshape(1, -1, 1, 1)
+
+    x_scan_max = cfg.z_scan * np.tan(np.deg2rad(theta_max))
+    y_scan_max = x_scan_max / cfg.aspect_ratio
+    x_scan = np.linspace(-x_scan_max, x_scan_max,
+                         cfg.max_res_x).reshape(1, 1, -1, 1)
+    y_scan = np.linspace(-y_scan_max, y_scan_max,
+                         cfg.max_res_y).reshape(1, 1, 1, -1)
+    r_scan = np.sqrt(x_scan**2 + y_scan**2 + cfg.z_scan**2)
+
+    f = np.linspace(0, int(fs / 2), int(N / 2) + 1)
+    if lo is None:
+        lo = int(np.abs(f - cfg.freq_band_low).argmin())
+    if hi is None:
+        fb_hi = cfg.freq_band_high if cfg.freq_band_high > 0 else fs / 2
+        hi = int(np.abs(f - fb_hi).argmin())
+    fsel = f[lo:hi].reshape(-1, 1, 1, 1)
+    k = 2 * np.pi * fsel / c
+    phase_full = np.exp(1j * (-k * (x_scan * x_i + y_scan * y_i) / r_scan))
+    from . import geometry
+    active, _ = geometry.active_microphones(cfg)
+    return phase_full[:, active, :, :], (lo, hi)
+
+
+def fft_peak_detection(power_in, threshold_upper, threshold_lower, lo,
+                       res_x, res_y):
+    """``beam_forming_algorithm.py:37-48`` verbatim, including the double
+    slice of the already-band-limited power by the lower band index."""
+    heatmap = np.zeros((res_x, res_y))
+    power = power_in[lo:, :, :]
+    for f_ind in range(0, len(power[:, 0, 0])):
+        if (np.max(power[f_ind, :, :]) > threshold_upper * np.max(power)
+                and np.max(power[f_ind, :, :]) > threshold_lower):
+            (x_max, y_max) = np.unravel_index(
+                power[f_ind, :, :].argmax(), np.shape(power[f_ind, :, :]))
+            if power[f_ind, x_max, y_max] > heatmap[x_max, y_max]:
+                heatmap[x_max, y_max] = power[f_ind, x_max, y_max]
+    return heatmap
