@@ -69,6 +69,75 @@ def main() -> None:
                 best = max(best, rate)
         ladder[name] = best
 
+    # -- per-algorithm rows (round 2): every beamformer at "high", the
+    # reference shape, the FFT backend, and real-time (RLS) MVDR ----------
+    cfg_hi = cfg0.replace(matmul_precision="high")
+    for algo in ("pad", "truncated", "convolve", "hybrid"):
+        tables = beamform.make_tables(cfg_hi, algo, cache=True)
+        rate = timed(jax.jit(
+            lambda f, t=tables: beamform.steered_power(f, t)))
+        fused = FusedBeamformer(tables)
+        if fused.fits_vmem:
+            rate = max(rate, timed(fused._call))
+        ladder[algo] = rate
+
+    # the reference config shape: 57x32 grid, 256 channels, 3 arrays
+    ref_cfg = __import__(
+        "zybo_rt_sampler_image_detection_tpu").Config().replace(
+        matmul_precision="high")
+    B_ref = 256
+    frames_ref = jax.device_put(rng.standard_normal(
+        (B_ref, ref_cfg.n_microphones, ref_cfg.n_samples)).astype(np.float32))
+    t_ref = beamform.make_tables(ref_cfg, "lerp", cache=True)
+
+    def timed_ref(fn, n_iter=8):
+        np.asarray(fn(frames_ref)[0, 0, 0])
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n_iter):
+            out = fn(frames_ref)
+        np.asarray(out[0, 0, 0])
+        return (B_ref * n_iter) / (time.perf_counter() - t0)
+
+    # NOTE: steered_power/fft_steered_power are already jitted with the
+    # tables as pytree ARGUMENTS — wrapping them in another jit(lambda)
+    # would bake the ~100 MB reference tables into the compile request
+    # (the remote compile service rejects it with HTTP 413).
+    ladder["lerp_reference_shape_57x32_256ch"] = timed_ref(
+        lambda f: beamform.steered_power(f, t_ref))
+    fused_ref = FusedBeamformer(t_ref)
+    if fused_ref.fits_vmem:
+        ladder["lerp_reference_shape_fused"] = timed_ref(fused_ref._call)
+
+    from zybo_rt_sampler_image_detection_tpu.ops import freq
+    ft = freq.make_freq_tables(ref_cfg, 100.0)
+    ladder["fft_bartlett_reference_shape"] = timed_ref(
+        lambda f: freq.fft_steered_power(f, ft))
+
+    # real-time MVDR: per-frame Sherman-Morrison update + Capon map at the
+    # reference shape (127 bins x 256 mics x 1824 directions)
+    from functools import partial as _partial
+
+    @_partial(jax.jit, static_argnames=())
+    def mvdr_scan(st, frames, t):
+        def step(s, fr):
+            s2 = freq.update_precision(s, fr[None], t)
+            return s2, freq.mvdr_power_precision(s2, t)
+        return jax.lax.scan(step, st, frames)
+
+    K = 8
+    fr_small = jax.device_put(np.asarray(frames_ref[:K]))
+    st = freq.init_precision(ft)
+    st, maps = mvdr_scan(st, fr_small, ft)
+    np.asarray(maps.ravel()[0])
+    t0 = time.perf_counter()
+    iters = 4
+    for _ in range(iters):
+        st, maps = mvdr_scan(st, fr_small, ft)
+    np.asarray(maps.ravel()[0])
+    ladder["mvdr_rls_per_frame_reference_shape"] = \
+        (K * iters) / (time.perf_counter() - t0)
+
     value = ladder["high"]
     print(json.dumps({
         "metric": "steered_power_heatmaps_per_sec_64ch_65x65",

@@ -187,3 +187,125 @@ def test_peak_detection_threshold_gates(tiny_cfg):
                       np.float32)
     got = np.asarray(freq.peak_detection(power_f, t, 0.8, 0.1))
     assert np.all(got == 0.0)
+
+
+def test_mvdr_ill_conditioned_single_source(tiny_cfg):
+    """Single coherent source with alpha -> 1 drives R toward rank-1; the
+    trace-scaled loading must keep the Cholesky solve finite and the peak
+    on the source (round-2 robustness gate)."""
+    cfg = tiny_cfg
+    tx, ty = 6, 2
+    t = freq.make_freq_tables(cfg, 2000.0, 20000.0)
+    state = freq.init_covariance(t)
+    frame = _delayed_source_frame(cfg, tx, ty, seed=77)   # noiseless
+    for _ in range(8):
+        state = freq.update_covariance(state, frame, t, alpha=0.999)
+    img = np.asarray(freq.mvdr_power(state, t))
+    assert np.all(np.isfinite(img))
+    x, y = np.unravel_index(img.argmax(), img.shape)
+    assert abs(x - tx) <= 1 and abs(y - ty) <= 1
+
+
+def test_mvdr_loading_sweep(tiny_cfg):
+    """The Capon map must stay finite and localized over four decades of
+    diagonal loading."""
+    cfg = tiny_cfg
+    tx, ty = 4, 3
+    t = freq.make_freq_tables(cfg, 2000.0, 20000.0)
+    state = freq.init_covariance(t)
+    rng = np.random.default_rng(78)
+    for seed in range(3):
+        frame = _delayed_source_frame(cfg, tx, ty, seed=80 + seed)
+        frame += 0.02 * rng.standard_normal(frame.shape).astype(np.float32)
+        state = freq.update_covariance(state, frame, t)
+    for load in (1e-5, 1e-3, 1e-1, 1.0):
+        img = np.asarray(freq.mvdr_power(state, t, diagonal_loading=load))
+        assert np.all(np.isfinite(img)), f"load={load}"
+        x, y = np.unravel_index(img.argmax(), img.shape)
+        assert abs(x - tx) <= 1 and abs(y - ty) <= 1, f"load={load}"
+
+
+def test_solve_hermitian_matches_numpy(tiny_cfg, rng):
+    """Cholesky block solve == numpy complex solve on random Hermitian-PD
+    systems."""
+    F, M, K = 3, 6, 2
+    A = rng.standard_normal((F, M, M)) + 1j * rng.standard_normal((F, M, M))
+    R = A @ A.conj().transpose(0, 2, 1) + 0.1 * np.eye(M)
+    b = rng.standard_normal((F, M, K)) + 1j * rng.standard_normal((F, M, K))
+    want = np.linalg.solve(R, b)
+    xr, xi = freq._solve_hermitian(
+        np.float32(R.real), np.float32(R.imag),
+        np.float32(b.real), np.float32(b.imag))
+    got = np.asarray(xr) + 1j * np.asarray(xi)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Streaming inverse covariance (RLS / Sherman-Morrison) — real-time MVDR
+# ---------------------------------------------------------------------------
+
+def _manual_ema_inverse(frames, t, load, alpha):
+    """numpy ground truth: P_N = inv(M_N), M_0 = (1+load) I,
+    M_t = alpha M + (1-alpha) s s^H per frame."""
+    F = t.hi - t.lo
+    M = np.asarray(t.phase_re).shape[1]
+    dft = np.asarray(t.dft_re) + 1j * np.asarray(t.dft_im)
+    active = np.asarray(t.adaptive)
+    Mat = np.broadcast_to((1.0 + load) * np.eye(M), (F, M, M)).astype(
+        np.complex128).copy()
+    for fr in frames:
+        S = fr[active].astype(np.float64) @ dft.astype(np.complex128)  # (M,F)
+        s = S.T                                                        # (F,M)
+        outer = s[:, :, None] * s.conj()[:, None, :]
+        Mat = alpha * Mat + (1 - alpha) * outer
+    return np.linalg.inv(Mat)
+
+
+def test_precision_update_matches_inverse(tiny_cfg, rng):
+    cfg = tiny_cfg
+    t = freq.make_freq_tables(cfg, 2000.0, 20000.0)
+    frames = [synth_frame(cfg, rng) for _ in range(5)]
+    st = freq.init_precision(t, load=1e-2)
+    for fr in frames:
+        st = freq.update_precision(st, fr, t, alpha=0.9)
+    want = _manual_ema_inverse(frames, t, 1e-2, 0.9)
+    got = np.asarray(st.P_re) + 1j * np.asarray(st.P_im)
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-4)
+
+
+def test_precision_refresh_bounds_drift(tiny_cfg, rng):
+    """refresh_precision re-factorizes P from the co-tracked covariance."""
+    cfg = tiny_cfg
+    t = freq.make_freq_tables(cfg, 2000.0, 20000.0)
+    st = freq.init_precision(t, load=1e-3)
+    for seed in range(4):
+        st = freq.update_precision(st, synth_frame(cfg, rng), t)
+    st2 = freq.refresh_precision(st, t)
+    # after refresh, P is the exact inverse of the loaded covariance
+    # (residual measured as R @ P - I, the direction the solve minimizes;
+    # P @ R amplifies f32 residuals by cond(R))
+    R_re, R_im = freq._loaded(st.cov, 1e-3)
+    R = np.asarray(R_re) + 1j * np.asarray(R_im)
+    P = np.asarray(st2.P_re) + 1j * np.asarray(st2.P_im)
+    eye = np.broadcast_to(np.eye(R.shape[1]), R.shape)
+    np.testing.assert_allclose(R @ P, eye, atol=5e-3)
+    # and it agrees with the float64 inverse where the inverse is stable
+    np.testing.assert_allclose(P, np.linalg.inv(R.astype(np.complex128)),
+                               rtol=0.05, atol=0.05)
+
+
+def test_mvdr_power_precision_localizes(tiny_cfg):
+    """The streaming-inverse Capon map localizes like the exact one."""
+    cfg = tiny_cfg
+    tx, ty = 6, 2
+    t = freq.make_freq_tables(cfg, 2000.0, 20000.0)
+    st = freq.init_precision(t)
+    rng = np.random.default_rng(91)
+    for seed in range(4):
+        frame = _delayed_source_frame(cfg, tx, ty, seed=90 + seed)
+        frame += 0.02 * rng.standard_normal(frame.shape).astype(np.float32)
+        st = freq.update_precision(st, frame, t)
+    img = np.asarray(freq.mvdr_power_precision(st, t))
+    assert np.all(np.isfinite(img))
+    x, y = np.unravel_index(img.argmax(), img.shape)
+    assert abs(x - tx) <= 1 and abs(y - ty) <= 1

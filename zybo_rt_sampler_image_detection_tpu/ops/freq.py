@@ -24,6 +24,7 @@ single-direction beam returned to the time domain by an inverse-DFT matmul.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -229,7 +230,15 @@ def _loaded(state: CovarianceState, diagonal_loading: float):
 
 
 def _solve_hermitian(R_re, R_im, b_re, b_im):
-    """Solve the complex system R x = b via its real 2Mx2M block form.
+    """Solve the complex Hermitian-PD system R x = b.
+
+    This backend has no complex dtype, so R is carried as (re, im) planes
+    and the solve runs on the real 2Mx2M block isomorphism
+    ``[[Re, -Im], [Im, Re]]`` — symmetric positive definite whenever R is
+    Hermitian PD (the trace-scaled diagonal loading guarantees that), so a
+    **Cholesky** factorization + two triangular solves replace the general
+    LU used in round 1: half the flops, no pivoting, and the block form
+    costs the same real flops as a native complex Cholesky would.
 
     R: (F, M, M) hermitian (R_re symmetric, R_im antisymmetric);
     b: (F, M, K).  Returns (x_re, x_im) each (F, M, K).
@@ -237,27 +246,161 @@ def _solve_hermitian(R_re, R_im, b_re, b_im):
     F, M, _ = R_re.shape
     top = jnp.concatenate([R_re, -R_im], axis=2)
     bot = jnp.concatenate([R_im, R_re], axis=2)
-    big = jnp.concatenate([top, bot], axis=1)          # (F, 2M, 2M)
+    big = jnp.concatenate([top, bot], axis=1)          # (F, 2M, 2M) sym PD
     rhs = jnp.concatenate([b_re, b_im], axis=1)        # (F, 2M, K)
-    x = jnp.linalg.solve(big, rhs)
+    L = jnp.linalg.cholesky(big)
+    y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+    x = jax.scipy.linalg.solve_triangular(L, y, lower=True, trans=1)
     return x[:, :M, :], x[:, M:, :]
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("grid_precision",))
 def mvdr_power(state: CovarianceState, t: FreqTables,
-               diagonal_loading: float = 1e-3) -> jax.Array:
+               diagonal_loading: float = 1e-3,
+               grid_precision: str = "highest") -> jax.Array:
     """Capon spectrum (X, Y): ``P(d) = sum_f 1 / (a_d^H R_f^{-1} a_d)``.
 
     The Bartlett path computes ``|sum_m P_m S_m|^2`` so its implied steering
     vector is ``a = conj(P)``.  Diagonal loading scales with tr(R)/M per
     bin — the standard robustifier for a streaming estimate.
+
+    TPU shape: triangular solves are slow on this hardware but the
+    direction axis (D = 1824 at the reference grid) is huge, so instead of
+    solving ``R x = a_d`` per direction we Cholesky-invert each bin's R
+    once (O(M^3), small) and evaluate ``a^H R^{-1} a`` for ALL directions
+    as two dense matmuls — MXU work that scales with the grid.
+
+    ``grid_precision`` controls those two grid matmuls only (the Cholesky/
+    inverse stays f32): "highest" for the exactness gates, "high" (~1e-7
+    rel) as the production point, "default" (bf16, ~1e-2 rel) when the map
+    feeds display/detection only.
     """
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[grid_precision]
     R_re, R_im = _loaded(state, diagonal_loading)
-    a_re, a_im = t.phase_re, -t.phase_im               # a = conj(P), (F, M, D)
-    x_re, x_im = _solve_hermitian(R_re, R_im, a_re, a_im)
-    # denom = Re(a^H x) = a_re.x_re + a_im.x_im
-    denom = (jnp.einsum("fmd,fmd->fd", a_re, x_re, precision=_HI)
-             + jnp.einsum("fmd,fmd->fd", a_im, x_im, precision=_HI))
+    F, M, _ = R_re.shape
+    top = jnp.concatenate([R_re, -R_im], axis=2)
+    bot = jnp.concatenate([R_im, R_re], axis=2)
+    big = jnp.concatenate([top, bot], axis=1)          # (F, 2M, 2M) sym PD
+    L = jnp.linalg.cholesky(big)
+    eye = jnp.broadcast_to(jnp.eye(2 * M, dtype=big.dtype), big.shape)
+    Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    Rinv = jnp.einsum("fkm,fkn->fmn", Linv, Linv, precision=_HI)
+    # block-real steering vectors: a = conj(P)  =>  [a_re; a_im]
+    a = jnp.concatenate([t.phase_re, -t.phase_im], axis=1)   # (F, 2M, D)
+    # denom_d = a_d^T Rinv a_d  — batched matmul + reduce on the MXU
+    Ra = jnp.einsum("fmn,fnd->fmd", Rinv, a, precision=prec)
+    denom = jnp.einsum("fmd,fmd->fd", a, Ra, precision=prec)
+    denom = jnp.maximum(denom, 1e-12)
+    power = jnp.sum(1.0 / denom, axis=0)
+    return power.reshape(t.res_x, t.res_y)
+
+
+# ---------------------------------------------------------------------------
+# Real-time MVDR: streaming inverse covariance (RLS / Sherman-Morrison)
+# ---------------------------------------------------------------------------
+#
+# The EMA update R <- alpha R + (1-alpha) s s^H is rank-1, so the INVERSE
+# admits a closed-form Sherman-Morrison update costing O(F M^2) per frame —
+# no per-frame Cholesky (O(F M^3), ~20 ms at the reference shape, the round-1
+# bottleneck).  This is the classic RLS recursion with forgetting factor
+# alpha; f32 drift is bounded by a periodic exact refresh (refresh_precision)
+# from the co-tracked covariance.
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PrecisionState:
+    """Streaming inverse covariance P[f] ~= (R[f] + load*I)^-1, plus the
+    covariance itself (used only for the periodic exact refresh)."""
+
+    P_re: jax.Array             # (F, M, M) float32
+    P_im: jax.Array             # (F, M, M) float32
+    cov: CovarianceState
+    load: float = dataclasses.field(metadata=dict(static=True))
+
+
+def init_precision(t: FreqTables, load: float = 1e-3) -> PrecisionState:
+    F = t.hi - t.lo
+    M = t.phase_re.shape[1]
+    eye = jnp.broadcast_to(jnp.eye(M, dtype=jnp.float32), (F, M, M))
+    # cov starts at I (init_covariance), so P = (1+load)^-1 I
+    return PrecisionState(P_re=eye / (1.0 + load),
+                          P_im=jnp.zeros((F, M, M), jnp.float32),
+                          cov=init_covariance(t), load=load)
+
+
+@partial(jax.jit, static_argnames=("alpha",))
+def update_precision(state: PrecisionState, signals: jax.Array,
+                     t: FreqTables, alpha: float = 0.9) -> PrecisionState:
+    """Per-frame Sherman-Morrison update of P (scanned over the batch):
+
+    ``R_t = a R + (1-a) s s^H``  =>
+    ``P_t = (1/a) [P - ((1-a)/a) (P s)(P s)^H / (1 + (1-a)/a s^H P s)]``
+
+    Complex arithmetic expanded over (re, im) planes; ``s^H P s`` is real
+    because P is Hermitian.  Cost: two matvecs + one outer product per bin.
+    """
+    if signals.ndim == 2:
+        signals = signals[None]
+    sr_all, si_all = _frame_fft(signals, t)            # (B, F, M)
+    beta = (1.0 - alpha) / alpha
+
+    def step(carry, s):
+        P_re, P_im = carry
+        sr, si = s                                     # (F, M)
+        # u = P s (complex matvec)
+        u_re = (jnp.einsum("fmn,fn->fm", P_re, sr, precision=_HI)
+                - jnp.einsum("fmn,fn->fm", P_im, si, precision=_HI))
+        u_im = (jnp.einsum("fmn,fn->fm", P_re, si, precision=_HI)
+                + jnp.einsum("fmn,fn->fm", P_im, sr, precision=_HI))
+        g = jnp.einsum("fm,fm->f", sr, u_re, precision=_HI) \
+            + jnp.einsum("fm,fm->f", si, u_im, precision=_HI)   # s^H P s
+        scale = (beta / (1.0 + beta * g))[:, None, None]
+        # P <- (P - scale * u u^H) / alpha
+        uu_re = (jnp.einsum("fm,fn->fmn", u_re, u_re, precision=_HI)
+                 + jnp.einsum("fm,fn->fmn", u_im, u_im, precision=_HI))
+        uu_im = (jnp.einsum("fm,fn->fmn", u_im, u_re, precision=_HI)
+                 - jnp.einsum("fm,fn->fmn", u_re, u_im, precision=_HI))
+        P_re = (P_re - scale * uu_re) / alpha
+        P_im = (P_im - scale * uu_im) / alpha
+        return (P_re, P_im), None
+
+    (P_re, P_im), _ = jax.lax.scan(
+        step, (state.P_re, state.P_im), (sr_all, si_all))
+    cov = update_covariance(state.cov, signals, t, alpha=alpha)
+    return PrecisionState(P_re=P_re, P_im=P_im, cov=cov, load=state.load)
+
+
+@jax.jit
+def refresh_precision(state: PrecisionState, t: FreqTables) -> PrecisionState:
+    """Exact re-factorization of P from the co-tracked covariance — run
+    every few hundred frames to bound f32 Sherman-Morrison drift."""
+    R_re, R_im = _loaded(state.cov, state.load)
+    F, M, _ = R_re.shape
+    eye = jnp.broadcast_to(jnp.eye(M, dtype=jnp.float32), (F, M, M))
+    P_re, P_im = _solve_hermitian(R_re, R_im, eye,
+                                  jnp.zeros_like(eye))
+    return PrecisionState(P_re=P_re, P_im=P_im, cov=state.cov,
+                          load=state.load)
+
+
+@partial(jax.jit, static_argnames=("grid_precision",))
+def mvdr_power_precision(state: PrecisionState, t: FreqTables,
+                         grid_precision: str = "high") -> jax.Array:
+    """Capon spectrum directly from the streaming inverse — matmuls only,
+    no factorization: the real-time MVDR map (every frame, full rate)."""
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[grid_precision]
+    a_re, a_im = t.phase_re, -t.phase_im               # (F, M, D)
+    # denom = Re(a^H P a); block-real expansion with P hermitian
+    Pa_re = (jnp.einsum("fmn,fnd->fmd", state.P_re, a_re, precision=prec)
+             - jnp.einsum("fmn,fnd->fmd", state.P_im, a_im, precision=prec))
+    Pa_im = (jnp.einsum("fmn,fnd->fmd", state.P_re, a_im, precision=prec)
+             + jnp.einsum("fmn,fnd->fmd", state.P_im, a_re, precision=prec))
+    denom = (jnp.einsum("fmd,fmd->fd", a_re, Pa_re, precision=prec)
+             + jnp.einsum("fmd,fmd->fd", a_im, Pa_im, precision=prec))
     denom = jnp.maximum(denom, 1e-12)
     power = jnp.sum(1.0 / denom, axis=0)
     return power.reshape(t.res_x, t.res_y)

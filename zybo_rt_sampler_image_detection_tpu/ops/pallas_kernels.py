@@ -106,12 +106,94 @@ def _power_kernel(w_ref, s_ref, corr_ref, out_ref, sdel_ref, *, T, M,
 
 
 
+def _power_kernel_tchunk(w_ref, s_ref, corr_ref, out_ref, sdel_ref, acc_ref,
+                         *, Tc, n_tc, T, M, tau_min, Bc, N, cc, inv_n,
+                         inv_len, precision, three_pass, tile_d):
+    """Chunked-T variant for shapes whose full delay-line scratch exceeds
+    VMEM (e.g. the reference config: T=49 taps x 256 mics).
+
+    Grid (frame-chunk, t-chunk, direction-tile); iteration order makes the
+    t-chunk axis sweep *outside* the direction tiles, so:
+
+    * ``sdel_ref`` holds only one t-chunk of delay lines (built once per
+      (frame-chunk, t-chunk) at d==0, reused by every direction tile);
+    * ``acc_ref`` accumulates partial beams for ALL direction tiles across
+      t-chunks (beams must be complete before squaring);
+    * on the last t-chunk the boundary corrections are subtracted and the
+      mean power is reduced and written out.
+    """
+    tc_i = pl.program_id(1)
+    d_i = pl.program_id(2)
+
+    @pl.when(d_i == 0)
+    def _build_chunk_delay_lines():
+        # Mosaic's dynamic rotate is 32-bit only, so the signal chunk stays
+        # f32 in VMEM; the (bf16) planes are derived after the roll.
+        x3 = s_ref[0]
+        for j in range(Tc):
+            # taps beyond T carry zero weights in the padded W
+            rolled = _shift3_dyn(x3, tau_min, tc_i, Tc,
+                                 j).reshape(M, Bc * N)
+            if three_pass:
+                hi = rolled.astype(jnp.bfloat16)
+                sdel_ref[0, pl.ds(j * M, M), :] = hi
+                sdel_ref[1, pl.ds(j * M, M), :] = (
+                    rolled - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            else:
+                sdel_ref[0, pl.ds(j * M, M), :] = rolled.astype(
+                    sdel_ref.dtype)
+
+    def dot(wp, sp):
+        return jax.lax.dot_general(
+            w_ref[wp], sdel_ref[sp], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+
+    if three_pass:
+        part = (dot(0, 1) + dot(1, 0)) + dot(0, 0)
+    else:
+        part = dot(0, 0)
+
+    @pl.when(tc_i == 0)
+    def _init():
+        acc_ref[pl.ds(d_i * tile_d, tile_d), :] = part
+
+    @pl.when(tc_i > 0)
+    def _accum():
+        acc_ref[pl.ds(d_i * tile_d, tile_d), :] = (
+            acc_ref[pl.ds(d_i * tile_d, tile_d), :] + part)
+
+    @pl.when(tc_i == n_tc - 1)
+    def _finish():
+        acc = acc_ref[pl.ds(d_i * tile_d, tile_d), :].reshape(tile_d, Bc, N)
+        corr = corr_ref[:].astype(jnp.float32)
+        p_full = jnp.sum(acc * acc, axis=2)
+        head = acc[:, :, :cc]
+        p_delta = jnp.sum(corr * corr - 2.0 * head * corr, axis=2)
+        power = (p_full + p_delta) * (inv_n * inv_n * inv_len)
+        out_ref[:, :] = power.T
+
+
+def _shift3_dyn(x3, tau_min, tc_i, Tc, j):
+    """Zero-fill shift by the *traced* amount ``tau_min + tc_i*Tc + j``
+    along the last axis of (M, Bc, N) — implemented as a roll + iota mask
+    (Mosaic handles dynamic rolls; dynamic-length concats it does not)."""
+    M, Bc, N = x3.shape
+    tau = tau_min + tc_i * Tc + j
+    rolled = pltpu.roll(x3.reshape(M * Bc, N), tau, 1)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (M * Bc, N), 1)
+    # branch-free zero mask valid for either sign of tau: for tau >= 0 the
+    # second term is always true; for tau < 0 the first is
+    keep = (idx >= tau) & (idx < N + tau)
+    return jnp.where(keep, rolled, jnp.zeros_like(rolled)).reshape(
+        M, Bc, N)
+
+
 class _Meta:
     """Static parameters of a fused launch (hashable closure for jit)."""
 
     def __init__(self, *, T, M, N, D, tile_d, chunk_b, cc, tau_min,
                  corr_js, three_pass, plane_dtype, kernel_precision,
-                 interpret, lax_precision):
+                 interpret, lax_precision, t_chunk=None):
         self.T, self.M, self.N, self.D = T, M, N, D
         self.tile_d, self.chunk_b, self.cc = tile_d, chunk_b, cc
         self.tau_min, self.corr_js = tau_min, corr_js
@@ -122,6 +204,8 @@ class _Meta:
         self.interpret = interpret
         self.n_planes = 2 if three_pass else 1
         self.DP = _round_up(D, tile_d)
+        self.t_chunk = t_chunk
+        self.n_tc = None if t_chunk is None else -(-T // t_chunk)
 
 
 def _fused_forward(signals, W3, Wc, adaptive, meta):
@@ -210,6 +294,92 @@ def _fused_forward(signals, W3, Wc, adaptive, meta):
     return power.reshape(BP, m.DP)[:B, :D]
 
 
+def _fused_forward_tchunk(signals, W3, Wc, adaptive, meta):
+    """Chunked-T fused steered power (see _power_kernel_tchunk)."""
+    m = meta
+    B = signals.shape[0]
+    Bc, N, D, M, T, P = m.chunk_b, m.N, m.D, m.M, m.T, m.n_planes
+    Tc, n_tc = m.t_chunk, m.n_tc
+    TP = Tc * n_tc
+    if B % Bc:
+        pad_b = Bc - B % Bc
+        signals = jnp.concatenate(
+            [signals, jnp.zeros((pad_b,) + signals.shape[1:],
+                                signals.dtype)], axis=0)
+    BP = signals.shape[0]
+
+    wf = jnp.pad(W3, ((0, m.DP - D), (0, TP - T), (0, 0)))
+    wf = wf.reshape(m.DP, TP * M)
+    if m.three_pass:
+        hi = wf.astype(jnp.float32).astype(jnp.bfloat16)
+        lo = (wf.astype(jnp.float32)
+              - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        Wp = jnp.stack([hi, lo])
+    else:
+        Wp = wf.astype(m.plane_dtype)[None]
+
+    sf = signals[:, adaptive, :]
+    # signal chunks stay f32 (dynamic rotate is 32-bit only on Mosaic);
+    # the kernel derives the plane dtype(s) after the roll
+    s = sf.astype(jnp.float32)[:, None]
+    s_chunks = s.reshape(BP // Bc, Bc, 1, M, N).transpose(0, 2, 3, 1, 4)
+
+    if Wc is None:
+        corr = jnp.zeros((BP // Bc, m.DP, Bc, m.cc), jnp.float32)
+    else:
+        sj = jnp.stack([sf[:, :, j].astype(jnp.float32)
+                        for j in m.corr_js], axis=1)
+        sjc = sj.reshape(BP // Bc, Bc, len(m.corr_js), M)
+        wcp = jnp.pad(Wc.astype(jnp.float32),
+                      ((0, 0), (0, m.DP - D), (0, 0), (0, 0)))
+        corr = jnp.einsum("jdtm,cbjm->cdbt", wcp, sjc,
+                          precision=m.lax_precision)
+        corr = jnp.pad(corr, ((0, 0), (0, 0), (0, 0),
+                              (0, m.cc - corr.shape[-1])))
+
+    grid = (BP // Bc, n_tc, m.DP // m.tile_d)
+    kernel = functools.partial(
+        _power_kernel_tchunk, Tc=Tc, n_tc=n_tc, T=T, M=M,
+        tau_min=m.tau_min, Bc=Bc, N=N, cc=m.cc,
+        inv_n=np.float32(1.0 / M), inv_len=np.float32(1.0 / N),
+        precision=m.kernel_precision, three_pass=m.three_pass,
+        tile_d=m.tile_d)
+    power = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((P, m.tile_d, Tc * M),
+                         lambda b, tc, d: (0, d, tc),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, M, Bc, N),
+                         lambda b, tc, d: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, m.tile_d, Bc, m.cc),
+                         lambda b, tc, d: (b, d, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, Bc, m.tile_d),
+                               lambda b, tc, d: (b, 0, d),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BP // Bc, Bc, m.DP), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((P, Tc * M, Bc * N), m.plane_dtype),
+            pltpu.VMEM((m.DP, Bc * N), jnp.float32),
+        ],
+        interpret=m.interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * P * BP * m.DP * TP * M * N,
+            bytes_accessed=4 * (BP // Bc * m.DP * TP * M + BP * M * N
+                                + BP * m.DP),
+            transcendentals=0,
+        ),
+    )(Wp, s_chunks, corr)
+    return power.reshape(BP, m.DP)[:B, :D]
+
+
 class FusedBeamformer:
     """Precomputed padded weights + a jitted fused pallas launch.
 
@@ -219,13 +389,18 @@ class FusedBeamformer:
         power = fused(frames)            # (B, X, Y) or (X, Y)
 
     ``chunk_b`` frames are processed per grid step with the signal block
-    resident in VMEM.  Falls back to the XLA path when the working set
-    would not fit VMEM.
+    resident in VMEM.  Shapes whose full delay-line scratch exceeds VMEM
+    (the reference config: T=49 x 256 mics) automatically switch to the
+    chunked-T variant (measured 3.0k heatmaps/s at the reference shape vs
+    2.8k for XLA-high — 15.8x the 190.7 fps line rate).  Only if even the
+    chunked working set cannot fit does ``__call__`` fall back to the XLA
+    path, with a logged warning (never silently).
     """
 
     def __init__(self, t: SteeringTables, tile_d: int = 256,
                  chunk_b: Optional[int] = None,
-                 interpret: Optional[bool] = None):
+                 interpret: Optional[bool] = None,
+                 force_tchunk: bool = False):
         self.t = t
         D, T, M = t.W.shape
         N = t.n_samples
@@ -269,7 +444,48 @@ class FusedBeamformer:
                 + 2 * tile_d * chunk_b * self.cc * 4)  # corr
         corr_fits = t.Wc is None or t.Wc.shape[2] <= self.cc
         self.vmem_bytes = vmem
-        self.fits_vmem = corr_fits and vmem < 28 * 1024 * 1024
+        budget = 28 * 1024 * 1024
+        if corr_fits and vmem < budget and not force_tchunk:
+            self.variant = "full"
+        else:
+            # Chunked-T variant (the reference shape: T=49 x 256 mics blows
+            # the full delay-line scratch).  Pick the largest (chunk_b,
+            # t_chunk) whose working set fits; acc holds ALL direction
+            # tiles' partial beams across the t-chunk sweep.
+            self.variant = "xla"
+            if corr_fits:
+                # among fitting (chunk_b, t_chunk) pairs, maximize the MXU
+                # dot volume cb*tc, tie-breaking toward square tiles —
+                # measured at the reference shape: (4,4) 3015/s beats
+                # (8,2) 2257/s, both vs XLA-high 2773/s
+                best = None
+                for cb in (16, 8, 4, 2, 1):
+                    for tc_len in (8, 4, 2):
+                        est = (2 * P * tile_d * tc_len * M * isz
+                               + M * cb * N * 4      # f32 signal chunk
+                               + P * tc_len * M * cb * N * isz
+                               + self.DP * cb * N * 4
+                               + 2 * tile_d * cb * self.cc * 4)
+                        if est < budget:
+                            key = (cb * tc_len, min(cb, tc_len))
+                            if best is None or key > best[0]:
+                                best = (key, cb, tc_len, est)
+                if best is not None:
+                    _, cb, tc_len, est = best
+                    self.variant = "tchunk"
+                    self.chunk_b = cb
+                    self.vmem_bytes = est
+                    self.meta = _Meta(
+                        T=T, M=M, N=N, D=D, tile_d=tile_d,
+                        chunk_b=cb, cc=self.cc, tau_min=t.tau_min,
+                        corr_js=t.corr_js,
+                        three_pass=self.three_pass,
+                        plane_dtype=self.plane_dtype,
+                        kernel_precision=self.meta.kernel_precision,
+                        lax_precision=t.lax_precision,
+                        interpret=interpret, t_chunk=tc_len)
+        self.fits_vmem = self.variant != "xla"
+        self._warned = False
         self._call = jax.jit(self._forward)
 
     def _forward(self, signals: jax.Array) -> jax.Array:
@@ -277,12 +493,23 @@ class FusedBeamformer:
         squeeze = signals.ndim == 2
         if squeeze:
             signals = signals[None]
-        power = _fused_forward(signals, t.W, t.Wc, t.adaptive, self.meta)
+        fwd = (_fused_forward_tchunk if self.variant == "tchunk"
+               else _fused_forward)
+        power = fwd(signals, t.W, t.Wc, t.adaptive, self.meta)
         power = power.reshape(signals.shape[0], t.res_x, t.res_y)
         return power[0] if squeeze else power
 
     def __call__(self, signals: jax.Array) -> jax.Array:
         if not self.fits_vmem:
+            # LOUD fallback (round-1 advisor: this used to be silent)
+            if not self._warned:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "FusedBeamformer: working set (%.1f MB) exceeds the "
+                    "VMEM budget even chunked; falling back to the XLA "
+                    "path (D=%d T=%d M=%d N=%d)", self.vmem_bytes / 2**20,
+                    self.meta.D, self.T, self.M, self.N)
+                self._warned = True
             from .beamform import steered_power
             return steered_power(signals, self.t)
         return self._call(signals)
