@@ -47,8 +47,9 @@ def main() -> None:
 
     ladder = {}
     # "highest": bit-level f32 (the exactness-gate mode); "high": 3-pass
-    # (~1.6e-5 rel — the production default quality point, still inside the
-    # fp32-tolerance fidelity gate); "bf16": single-pass bf16 (~2e-3).
+    # bf16 hi/lo emulation (~5e-6 rel on the power map — BETTER than XLA's
+    # native HIGH at ~2.4e-5, see test_three_pass_beats_xla_high); "bf16":
+    # single-pass bf16 (~2e-3).
     rungs = (
         ("highest", dict(matmul_precision="highest")),
         ("high", dict(matmul_precision="high")),
@@ -57,16 +58,13 @@ def main() -> None:
     for name, kw in rungs:
         cfg = cfg0.replace(**kw)
         tables = beamform.make_tables(cfg, "lerp", cache=False)
-        best = timed(jax.jit(lambda f, t=tables: beamform.steered_power(f, t)))
+        xla_rate = timed(jax.jit(
+            lambda f, t=tables: beamform.steered_power(f, t)))
+        ladder[f"{name}_xla"] = xla_rate
+        best = xla_rate
         fused = FusedBeamformer(tables)
         if fused.fits_vmem:
-            rate = timed(fused._call)
-            if name == "high":
-                # the fused "high" is a bf16x3 emulation (~6e-4 rel, vs
-                # 1.6e-5 for XLA's HIGH) — report it as its own rung
-                ladder["high_fused_3pass"] = rate
-            else:
-                best = max(best, rate)
+            best = max(best, timed(fused._call))
         ladder[name] = best
 
     # -- per-algorithm rows (round 2): every beamformer at "high", the
@@ -146,8 +144,8 @@ def main() -> None:
         "vs_baseline": round(value / 1000.0, 3),
     }))
     print(f"# ladder: { {k: round(v, 1) for k, v in ladder.items()} } "
-          f"(headline=high precision, rel err 1.6e-05 vs exact f32) "
-          f"backend={jax.default_backend()}", file=sys.stderr)
+          f"(headline=high precision, fused 3-pass rel err ~5e-06 vs exact "
+          f"f32) backend={jax.default_backend()}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -42,6 +42,40 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _split_bf16(x: jax.Array):
+    """bf16 hi/lo plane split that SURVIVES the XLA algebraic simplifier.
+
+    The naive ``x - f32(bf16(x))`` is folded to exactly zero under jit:
+    with excess precision allowed, XLA elides the narrowing/widening
+    convert pair, so the "lo" plane silently becomes zeros and the 3-pass
+    emulation degrades to single-pass bf16 (~2e-3 rel err instead of
+    ~2e-5).  ``lax.reduce_precision`` is specified to round on the target
+    grid *without* being simplifiable away; the residual subtraction is
+    then exact in f32 and both planes convert to bf16 losslessly (hi) /
+    with one final rounding (lo).
+    """
+    hi = jax.lax.reduce_precision(x, 8, 7)   # on the bf16 grid, f32 dtype
+    lo = x - hi                              # exact in f32
+    return hi.astype(jnp.bfloat16), lo.astype(jnp.bfloat16)
+
+
+def _split_bf16_mosaic(x: jax.Array):
+    """In-kernel (Mosaic) twin of :func:`_split_bf16`.
+
+    Mosaic lowers neither ``reduce_precision`` nor (reliably) the convert
+    round-trip, so round to the bf16 grid by integer bit manipulation:
+    add half an ulp of the 16-bit-truncated magnitude and mask — the
+    sign-magnitude float layout makes the carry propagate correctly into
+    the exponent for either sign.  hi is then exactly bf16-representable
+    and ``x - hi`` is exact in f32.
+    """
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    hi_bits = (bits + jnp.uint32(0x8000)) & jnp.uint32(0xFFFF0000)
+    hi = jax.lax.bitcast_convert_type(hi_bits, jnp.float32)
+    lo = x - hi
+    return hi.astype(jnp.bfloat16), lo.astype(jnp.bfloat16)
+
+
 def _shift3(x3: jax.Array, tau: int) -> jax.Array:
     """Zero-fill shift along the last (time) axis of (M, Bc, N) — the C
     ``pad_delay`` semantics per frame."""
@@ -73,6 +107,8 @@ def _power_kernel(w_ref, s_ref, corr_ref, out_ref, sdel_ref, *, T, M,
 
     ``three_pass`` emulates f32 precision from bf16 planes (Mosaic lacks
     Precision.HIGH): x = hi + lo => W@S ≈ Whi@Shi + Whi@Slo + Wlo@Shi.
+    The planes come from :func:`_split_bf16` — NOT the naive convert
+    round-trip, which the TPU backend simplifies to a zero lo plane.
     """
     n_planes = 2 if three_pass else 1
 
@@ -135,10 +171,9 @@ def _power_kernel_tchunk(w_ref, s_ref, corr_ref, out_ref, sdel_ref, acc_ref,
             rolled = _shift3_dyn(x3, tau_min, tc_i, Tc,
                                  j).reshape(M, Bc * N)
             if three_pass:
-                hi = rolled.astype(jnp.bfloat16)
+                hi, lo = _split_bf16_mosaic(rolled)
                 sdel_ref[0, pl.ds(j * M, M), :] = hi
-                sdel_ref[1, pl.ds(j * M, M), :] = (
-                    rolled - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                sdel_ref[1, pl.ds(j * M, M), :] = lo
             else:
                 sdel_ref[0, pl.ds(j * M, M), :] = rolled.astype(
                     sdel_ref.dtype)
@@ -229,18 +264,14 @@ def _fused_forward(signals, W3, Wc, adaptive, meta):
     # weights: pad direction axis, flatten taps, split bf16 planes
     wf = jnp.pad(W3, ((0, m.DP - D), (0, 0), (0, 0))).reshape(m.DP, T * M)
     if m.three_pass:
-        hi = wf.astype(jnp.float32).astype(jnp.bfloat16)
-        lo = (wf.astype(jnp.float32)
-              - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        hi, lo = _split_bf16(wf.astype(jnp.float32))
         Wp = jnp.stack([hi, lo])
     else:
         Wp = wf.astype(m.plane_dtype)[None]
 
     sf = signals[:, adaptive, :]                          # (BP, M, N)
     if m.three_pass:
-        hi = sf.astype(jnp.float32).astype(jnp.bfloat16)
-        lo = (sf.astype(jnp.float32)
-              - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        hi, lo = _split_bf16(sf.astype(jnp.float32))
         s = jnp.stack([hi, lo], axis=1)                   # (BP, P, M, N)
     else:
         s = sf.astype(m.plane_dtype)[:, None]
@@ -311,9 +342,7 @@ def _fused_forward_tchunk(signals, W3, Wc, adaptive, meta):
     wf = jnp.pad(W3, ((0, m.DP - D), (0, TP - T), (0, 0)))
     wf = wf.reshape(m.DP, TP * M)
     if m.three_pass:
-        hi = wf.astype(jnp.float32).astype(jnp.bfloat16)
-        lo = (wf.astype(jnp.float32)
-              - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        hi, lo = _split_bf16(wf.astype(jnp.float32))
         Wp = jnp.stack([hi, lo])
     else:
         Wp = wf.astype(m.plane_dtype)[None]
@@ -391,10 +420,15 @@ class FusedBeamformer:
     ``chunk_b`` frames are processed per grid step with the signal block
     resident in VMEM.  Shapes whose full delay-line scratch exceeds VMEM
     (the reference config: T=49 x 256 mics) automatically switch to the
-    chunked-T variant (measured 3.0k heatmaps/s at the reference shape vs
-    2.8k for XLA-high — 15.8x the 190.7 fps line rate).  Only if even the
+    chunked-T variant (measured 3.4k heatmaps/s at the reference shape vs
+    2.7k for XLA-high — 18x the 190.7 fps line rate).  Only if even the
     chunked working set cannot fit does ``__call__`` fall back to the XLA
     path, with a logged warning (never silently).
+
+    At ``precision='high'`` the 3-pass bf16 hi/lo emulation is *more*
+    accurate than XLA's native HIGH (~5e-6 vs ~2.4e-5 max rel err on the
+    power map) and ~1.6x faster than the XLA-high path, so it serves the
+    production "high" rung outright.
     """
 
     def __init__(self, t: SteeringTables, tile_d: int = 256,
