@@ -285,24 +285,37 @@ def make_tables(cfg: Config, algorithm: str,
                           os.path.expanduser("~/.cache/zrt_tables"))
     path = os.path.join(cdir, f"{algorithm}-{key}.npz")
     if os.path.exists(path):
-        z = np.load(path, allow_pickle=False)
-        active, _ = geometry.active_microphones(cfg)
-        return SteeringTables(
-            W=jnp.asarray(z["W"], jnp.dtype(cfg.matmul_dtype)),
-            Wc=jnp.asarray(z["Wc"], jnp.float32) if "Wc" in z else None,
-            adaptive=jnp.asarray(active, jnp.int32),
-            tau_min=int(z["tau_min"]),
-            corr_js=tuple(int(j) for j in z["corr_js"]),
-            precision=cfg.matmul_precision,
-            n_samples=cfg.n_samples, res_x=cfg.max_res_x,
-            res_y=cfg.max_res_y, algorithm=algorithm)
+        # cache entries are always f32 on disk (npz cannot round-trip
+        # ml_dtypes bf16 — it loads back as an uncastable void dtype);
+        # the table dtype is re-applied on load.  A corrupt/stale entry
+        # falls through to a rebuild.
+        try:
+            z = np.load(path, allow_pickle=False)
+            W = jnp.asarray(np.asarray(z["W"], np.float32),
+                            jnp.dtype(cfg.matmul_dtype))
+            Wc = (jnp.asarray(np.asarray(z["Wc"], np.float32))
+                  if "Wc" in z else None)
+            tau_min, corr_js = int(z["tau_min"]), tuple(
+                int(j) for j in z["corr_js"])
+        except (OSError, ValueError, KeyError, TypeError):
+            pass
+        else:
+            active, _ = geometry.active_microphones(cfg)
+            return SteeringTables(
+                W=W, Wc=Wc,
+                adaptive=jnp.asarray(active, jnp.int32),
+                tau_min=tau_min, corr_js=corr_js,
+                precision=cfg.matmul_precision,
+                n_samples=cfg.n_samples, res_x=cfg.max_res_x,
+                res_y=cfg.max_res_y, algorithm=algorithm)
     t = builder(cfg)
     try:
         os.makedirs(cdir, exist_ok=True)
-        arrays = dict(W=np.asarray(t.W), tau_min=np.int64(t.tau_min),
+        arrays = dict(W=np.asarray(t.W, dtype=np.float32),
+                      tau_min=np.int64(t.tau_min),
                       corr_js=np.asarray(t.corr_js, np.int64))
         if t.Wc is not None:
-            arrays["Wc"] = np.asarray(t.Wc)
+            arrays["Wc"] = np.asarray(t.Wc, dtype=np.float32)
         np.savez(path, **arrays)
     except OSError:
         pass

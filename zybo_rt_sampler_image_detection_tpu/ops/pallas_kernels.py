@@ -434,7 +434,8 @@ class FusedBeamformer:
     def __init__(self, t: SteeringTables, tile_d: int = 256,
                  chunk_b: Optional[int] = None,
                  interpret: Optional[bool] = None,
-                 force_tchunk: bool = False):
+                 force_tchunk: bool = False,
+                 vmem_budget: int = 28 * 1024 * 1024):
         self.t = t
         D, T, M = t.W.shape
         N = t.n_samples
@@ -478,7 +479,7 @@ class FusedBeamformer:
                 + 2 * tile_d * chunk_b * self.cc * 4)  # corr
         corr_fits = t.Wc is None or t.Wc.shape[2] <= self.cc
         self.vmem_bytes = vmem
-        budget = 28 * 1024 * 1024
+        budget = vmem_budget
         if corr_fits and vmem < budget and not force_tchunk:
             self.variant = "full"
         else:
