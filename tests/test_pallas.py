@@ -21,6 +21,44 @@ def test_fused_matches_xla(tiny_cfg, rng, algorithm):
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-9)
 
 
+def test_swap_orientations_agree(tiny_cfg, rng):
+    """The swapped contraction (default; ~1.3-1.7x faster on TPU) and the
+    plain W @ sdel orientation are the same math — keep both live."""
+    frames = np.stack([synth_frame(tiny_cfg, rng) for _ in range(2)])
+    tables = beamform.make_tables(tiny_cfg, "lerp")
+    ref = np.asarray(beamform.steered_power(frames, tables))
+    for swap in (True, False):
+        fused = FusedBeamformer(tables, tile_d=8, chunk_b=2, swap=swap)
+        np.testing.assert_allclose(np.asarray(fused(frames)), ref,
+                                   rtol=1e-4, atol=1e-9)
+    tch = FusedBeamformer(tables, force_tchunk=True, swap=False)
+    assert tch.variant == "tchunk"
+    np.testing.assert_allclose(np.asarray(tch(frames)), ref,
+                               rtol=1e-4, atol=1e-9)
+
+
+def test_window_plan_invariants(rng):
+    """_window_plan windows must cover every nonzero tap, stay in range,
+    and satisfy the Mosaic 8-alignment rules, for arbitrary sparsity."""
+    from zybo_rt_sampler_image_detection_tpu.ops.pallas_kernels import (
+        _window_plan,
+    )
+    D, T, M, tile_d = 37, 23, 8, 16
+    W = np.zeros((D, T, M), np.float32)
+    for d in range(D):
+        for m in range(M):
+            t0 = rng.integers(0, T - 2)
+            W[d, t0:t0 + 2, m] = rng.standard_normal(2)
+    bases, Tw, T_pad = _window_plan(W, tile_d)
+    assert Tw % 8 == 0 and T_pad % 8 == 0 and T_pad >= T + 7
+    assert (bases % 8 == 0).all()
+    assert (bases >= 0).all() and (bases + Tw <= T_pad).all()
+    d_idx, t_idx, m_idx = np.nonzero(W)
+    tl = d_idx // tile_d
+    assert (bases[tl, m_idx] <= t_idx).all()
+    assert (t_idx < bases[tl, m_idx] + Tw).all()
+
+
 def test_fused_single_frame(tiny_cfg, rng):
     frame = synth_frame(tiny_cfg, rng)
     tables = beamform.make_lerp_tables(tiny_cfg)
@@ -99,21 +137,25 @@ def test_fused_tchunk_matches_xla(tiny_cfg, rng, algorithm):
 
 def test_fused_reference_shape_parity():
     """Round-2 gate: the 57x32-grid, 256-mic reference config runs FUSED
-    (chunked-T auto-selected, not the XLA fallback) and matches the exact
-    path.  Interpret mode (hermetic); the real-TPU numbers live in
-    BENCHMARKS.md."""
+    (not the XLA fallback) and matches the exact path.  Interpret mode
+    (hermetic); the real-TPU numbers live in BENCHMARKS.md."""
     import zybo_rt_sampler_image_detection_tpu as zrt
     cfg = zrt.Config()            # highest precision, f32
     tables = beamform.make_tables(cfg, "lerp")
     fused = FusedBeamformer(tables)
-    assert fused.variant == "tchunk", \
-        f"reference shape must run fused, got {fused.variant}"
+    assert fused.fits_vmem, "reference shape must run fused"
     rng = np.random.default_rng(7)
     frames = (rng.standard_normal(
         (2, cfg.n_microphones, cfg.n_samples)) * 0.1).astype(np.float32)
     ref = np.asarray(beamform.steered_power(frames, tables))
     got = np.asarray(fused(frames))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-12)
+    # the windowed-K variant (opt-in: production Mosaic chokes on its
+    # gather, see pallas_kernels) stays correct at this shape
+    win = FusedBeamformer(tables, window=True)
+    assert win.variant == "window"
+    np.testing.assert_allclose(np.asarray(win(frames)), ref,
+                               rtol=1e-4, atol=1e-12)
 
 
 def test_fused_xla_fallback_is_loud(tiny_cfg, rng, caplog):

@@ -13,10 +13,14 @@ frames with near-minimal HBM traffic:
 * the per-direction mean power reduces in-register — the (D, B*N) beam
   tensor never exists in HBM either.
 
-Measured: ~28.5k heatmaps/s at bf16 (64 ch x 65x65, B=512, one v5e), ~2x
-the unfused XLA path and 30x the project's north-star target — the serial
-per-direction C loop of ``pad_and_sum.c:114-142`` becomes a compute-bound
-systolic-array program.
+Measured (64 ch x 65x65, B=512, one v5e): ~43k heatmaps/s at bf16,
+~18.5k at "high" (3-pass bf16 emulation, ~5e-6 rel err), ~10.3k at
+bit-level f32 — each the fastest path at its accuracy, 10-45x the
+project's north-star target.  The serial per-direction C loop of
+``pad_and_sum.c:114-142`` becomes a compute-bound systolic-array
+program.  The round-2 "swapped contraction" (see ``_power_kernel``)
+runs the same MXU work ~1.3-1.7x faster by producing the beam tensor
+directly in the output orientation.
 
 The exact XLA formulation in :mod:`.beamform` is the ground truth; this
 kernel must (and is tested to) match it.
@@ -93,13 +97,14 @@ def _shift3(x3: jax.Array, tau: int) -> jax.Array:
 
 def _power_kernel(w_ref, s_ref, corr_ref, out_ref, sdel_ref, *, T, M,
                   tau_min, Bc, N, cc, inv_n, inv_len, precision,
-                  three_pass):
+                  three_pass, swap):
     """One (frame-chunk, direction-tile) grid cell.
 
     w_ref:    (P, TILE_D, T*M) delay-line weights for this direction tile
               (P=1, or P=2 hi/lo bf16 planes in three-pass mode)
     s_ref:    (P, M, Bc, N)   resident signal chunk
-    corr_ref: (TILE_D, Bc, cc) boundary corrections (to subtract)
+    corr_ref: boundary corrections (to subtract):
+              (TILE_D, Bc, cc) plain / (Bc, cc, TILE_D) swapped
     out_ref:  (Bc, TILE_D)    mean power per (frame, direction)
     sdel_ref: (P, T*M, Bc, N) VMEM scratch — the on-chip delay lines,
               built once per frame chunk (first direction tile) and reused
@@ -109,6 +114,14 @@ def _power_kernel(w_ref, s_ref, corr_ref, out_ref, sdel_ref, *, T, M,
     Precision.HIGH): x = hi + lo => W@S ≈ Whi@Shi + Whi@Slo + Wlo@Shi.
     The planes come from :func:`_split_bf16` — NOT the naive convert
     round-trip, which the TPU backend simplifies to a zero lo plane.
+
+    ``swap`` flips the MXU dataflow: instead of W @ sdel -> (TILE_D, Bc*N)
+    followed by a transposed store, the contraction runs sdel^T-style —
+    ``dot_general(sdel, W, contract sdel dim0 with W dim1)`` producing
+    (Bc*N, TILE_D) — so the time-axis power reduction and the output store
+    land directly in the (Bc, TILE_D) layout.  Same math, same operands,
+    but Mosaic schedules this orientation ~1.7x faster at bf16 (measured
+    10.4 ms vs 18 ms for B=512 at the 64ch x 65x65 shape).
     """
     n_planes = 2 if three_pass else 1
 
@@ -120,31 +133,44 @@ def _power_kernel(w_ref, s_ref, corr_ref, out_ref, sdel_ref, *, T, M,
                 sdel_ref[pidx, pl.ds(t * M, M), :] = _shift3(
                     x3, tau_min + t).reshape(M, Bc * N)
 
-    def dot(wp, sp):
-        return jax.lax.dot_general(
-            w_ref[wp], sdel_ref[sp], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision)
-
     tile_d = w_ref.shape[1]
+    if swap:
+        def dot(wp, sp):
+            return jax.lax.dot_general(
+                sdel_ref[sp], w_ref[wp], (((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+    else:
+        def dot(wp, sp):
+            return jax.lax.dot_general(
+                w_ref[wp], sdel_ref[sp], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+
     if three_pass:
         acc = ((dot(0, 1) + dot(1, 0)) + dot(0, 0))
     else:
         acc = dot(0, 0)
-    acc = acc.reshape(tile_d, Bc, N)
     corr = corr_ref[:].astype(jnp.float32)
     # power of (acc - corr_ext)/n without materializing a zero-extended
     # correction tensor: sum((a-c)^2) = sum(a^2) + sum(c^2 - 2*a_head*c)
-    p_full = jnp.sum(acc * acc, axis=2)
-    head = acc[:, :, :cc]
-    p_delta = jnp.sum(corr * corr - 2.0 * head * corr, axis=2)
-    power = (p_full + p_delta) * (inv_n * inv_n * inv_len)  # (TILE_D, Bc)
-    out_ref[:, :] = power.T
+    if swap:
+        acc = acc.reshape(Bc, N, tile_d)
+        p_full = jnp.sum(acc * acc, axis=1)
+        head = acc[:, :cc, :]                       # corr: (Bc, cc, TILE_D)
+        p_delta = jnp.sum(corr * corr - 2.0 * head * corr, axis=1)
+        out_ref[:, :] = (p_full + p_delta) * (inv_n * inv_n * inv_len)
+    else:
+        acc = acc.reshape(tile_d, Bc, N)
+        p_full = jnp.sum(acc * acc, axis=2)
+        head = acc[:, :, :cc]                       # corr: (TILE_D, Bc, cc)
+        p_delta = jnp.sum(corr * corr - 2.0 * head * corr, axis=2)
+        power = (p_full + p_delta) * (inv_n * inv_n * inv_len)
+        out_ref[:, :] = power.T
 
 
 
 def _power_kernel_tchunk(w_ref, s_ref, corr_ref, out_ref, sdel_ref, acc_ref,
                          *, Tc, n_tc, T, M, tau_min, Bc, N, cc, inv_n,
-                         inv_len, precision, three_pass, tile_d):
+                         inv_len, precision, three_pass, tile_d, swap):
     """Chunked-T variant for shapes whose full delay-line scratch exceeds
     VMEM (e.g. the reference config: T=49 taps x 256 mics).
 
@@ -157,6 +183,11 @@ def _power_kernel_tchunk(w_ref, s_ref, corr_ref, out_ref, sdel_ref, acc_ref,
       t-chunks (beams must be complete before squaring);
     * on the last t-chunk the boundary corrections are subtracted and the
       mean power is reduced and written out.
+
+    ``swap`` is the same MXU-dataflow flip as in :func:`_power_kernel`:
+    partial beams are produced as (Bc*N, TILE_D) slabs accumulated into a
+    column-sliced (Bc*N, DP) scratch, and the final reduction lands in the
+    output layout without a transpose.
     """
     tc_i = pl.program_id(1)
     d_i = pl.program_id(2)
@@ -178,34 +209,153 @@ def _power_kernel_tchunk(w_ref, s_ref, corr_ref, out_ref, sdel_ref, acc_ref,
                 sdel_ref[0, pl.ds(j * M, M), :] = rolled.astype(
                     sdel_ref.dtype)
 
-    def dot(wp, sp):
-        return jax.lax.dot_general(
-            w_ref[wp], sdel_ref[sp], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision)
+    if swap:
+        def dot(wp, sp):
+            return jax.lax.dot_general(
+                sdel_ref[sp], w_ref[wp], (((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+    else:
+        def dot(wp, sp):
+            return jax.lax.dot_general(
+                w_ref[wp], sdel_ref[sp], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
 
     if three_pass:
         part = (dot(0, 1) + dot(1, 0)) + dot(0, 0)
     else:
         part = dot(0, 0)
 
+    def acc_slice():
+        if swap:
+            return acc_ref[:, pl.ds(d_i * tile_d, tile_d)]
+        return acc_ref[pl.ds(d_i * tile_d, tile_d), :]
+
+    def acc_store(val):
+        if swap:
+            acc_ref[:, pl.ds(d_i * tile_d, tile_d)] = val
+        else:
+            acc_ref[pl.ds(d_i * tile_d, tile_d), :] = val
+
     @pl.when(tc_i == 0)
     def _init():
-        acc_ref[pl.ds(d_i * tile_d, tile_d), :] = part
+        acc_store(part)
 
     @pl.when(tc_i > 0)
     def _accum():
-        acc_ref[pl.ds(d_i * tile_d, tile_d), :] = (
-            acc_ref[pl.ds(d_i * tile_d, tile_d), :] + part)
+        acc_store(acc_slice() + part)
 
     @pl.when(tc_i == n_tc - 1)
     def _finish():
-        acc = acc_ref[pl.ds(d_i * tile_d, tile_d), :].reshape(tile_d, Bc, N)
         corr = corr_ref[:].astype(jnp.float32)
-        p_full = jnp.sum(acc * acc, axis=2)
-        head = acc[:, :, :cc]
-        p_delta = jnp.sum(corr * corr - 2.0 * head * corr, axis=2)
-        power = (p_full + p_delta) * (inv_n * inv_n * inv_len)
-        out_ref[:, :] = power.T
+        if swap:
+            acc = acc_slice().reshape(Bc, N, tile_d)
+            p_full = jnp.sum(acc * acc, axis=1)
+            head = acc[:, :cc, :]                   # corr: (Bc, cc, TILE_D)
+            p_delta = jnp.sum(corr * corr - 2.0 * head * corr, axis=1)
+            out_ref[:, :] = (p_full + p_delta) * (inv_n * inv_n * inv_len)
+        else:
+            acc = acc_slice().reshape(tile_d, Bc, N)
+            p_full = jnp.sum(acc * acc, axis=2)
+            head = acc[:, :, :cc]                   # corr: (TILE_D, Bc, cc)
+            p_delta = jnp.sum(corr * corr - 2.0 * head * corr, axis=2)
+            power = (p_full + p_delta) * (inv_n * inv_n * inv_len)
+            out_ref[:, :] = power.T
+
+
+def _window_plan(Wnp: np.ndarray, tile_d: int):
+    """Per-(direction-tile, mic) tap windows for the windowed kernel.
+
+    The dense (D, T*M) weight matrix is mostly zeros when the delay spread
+    T is large: lerp touches 2 taps per (direction, mic), convolve
+    ``n_taps`` — at the reference shape (T=49, 256 mics) ~96% of the MACs
+    multiply zero weights.  Within one direction *tile*, though, each
+    mic's nonzero taps span a narrow window (<= 13 of 49 at tile_d=128 —
+    delays vary smoothly over adjacent steering directions), so the tile's
+    contraction can run over a compact per-mic window of uniform width Tw
+    = max spread, cutting K from T*M to Tw*M (3.8x at the reference
+    shape).
+
+    Mosaic constraint: a dynamic offset into the sublane (second-to-minor)
+    dimension must be a provable multiple of 8, so bases are rounded down
+    to 8-multiples and Tw widened to ``round_up(raw + 7, 8)``; the tap
+    axis is padded to ``T_pad = round_up(T + 7, 8)`` (zero weights / real
+    shifted signals) so every clipped window stays in range.
+
+    Returns ``(bases, Tw, T_pad)``: bases (n_tiles, M) int32 — first tap
+    of each window (8-aligned, in [0, T_pad-Tw], covering all nonzero
+    taps of its (tile, mic)).
+    """
+    D, T, M = Wnp.shape
+    DP = _round_up(D, tile_d)
+    nz = Wnp != 0
+    taps = np.arange(T)[None, :, None]
+    tmin = np.where(nz, taps, T).min(axis=1)           # (D, M)
+    tmax = np.where(nz, taps, -1).max(axis=1)
+    pad = DP - D
+    tmin = np.concatenate([tmin, np.full((pad, M), T)], 0)
+    tmax = np.concatenate([tmax, np.full((pad, M), -1)], 0)
+    tmin_t = tmin.reshape(DP // tile_d, tile_d, M).min(axis=1)
+    tmax_t = tmax.reshape(DP // tile_d, tile_d, M).max(axis=1)
+    raw = max(int(np.maximum(tmax_t - tmin_t + 1, 0).max()), 1)
+    Tw = _round_up(raw + 7, 8)
+    T_pad = _round_up(T + 7, 8)
+    bases = (np.clip(tmin_t, 0, T_pad - Tw) & ~7).astype(np.int32)
+    return bases, Tw, T_pad
+
+
+def _power_kernel_window(bases_ref, w_ref, s_ref, corr_ref, out_ref,
+                         sdel_ref, comp_ref, *, T_pad, Tw, M, tau_min, Bc,
+                         N, cc, inv_n, inv_len, precision, three_pass):
+    """Windowed-K variant (see :func:`_window_plan`) — always the swapped
+    orientation.
+
+    bases_ref: (n_tiles, M) int32 scalar-prefetch (SMEM) window bases
+               (8-aligned; Tw is an 8-multiple — Mosaic sublane rule)
+    w_ref:     (P, TILE_D, M*Tw) compact weights for this tile
+    s_ref:     (P, M, Bc, N) resident signal chunk
+    sdel_ref:  (P, M, T_pad, Bc*N) VMEM scratch — mic-major delay lines,
+               built once per frame chunk; mic-major so each (tile, mic)
+               window is one contiguous dynamic slice
+    comp_ref:  (P, M*Tw, Bc*N) VMEM scratch — this tile's compact delay
+               lines, row m*Tw + j = mic m shifted by tau_min+base+j
+    """
+    n_planes = 2 if three_pass else 1
+    d_i = pl.program_id(1)
+
+    @pl.when(d_i == 0)
+    def _build_delay_lines():
+        for p in range(n_planes):
+            x3 = s_ref[p]
+            for t in range(T_pad):
+                sdel_ref[p, :, t, :] = _shift3(
+                    x3, tau_min + t).reshape(M, Bc * N)
+
+    def gather(mi, carry):
+        b = pl.multiple_of(bases_ref[d_i, mi], 8)
+        off = pl.multiple_of(mi * Tw, 8)
+        for p in range(n_planes):
+            comp_ref[p, pl.ds(off, Tw), :] = sdel_ref[
+                p, mi, pl.ds(b, Tw), :]
+        return carry
+
+    jax.lax.fori_loop(0, M, gather, 0)    # Mosaic: only unroll=1/full
+
+    def dot(wp, sp):
+        return jax.lax.dot_general(
+            comp_ref[sp], w_ref[wp], (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+
+    tile_d = w_ref.shape[1]
+    if three_pass:
+        acc = ((dot(0, 1) + dot(1, 0)) + dot(0, 0))
+    else:
+        acc = dot(0, 0)
+    corr = corr_ref[:].astype(jnp.float32)
+    acc = acc.reshape(Bc, N, tile_d)
+    p_full = jnp.sum(acc * acc, axis=1)
+    head = acc[:, :cc, :]
+    p_delta = jnp.sum(corr * corr - 2.0 * head * corr, axis=1)
+    out_ref[:, :] = (p_full + p_delta) * (inv_n * inv_n * inv_len)
 
 
 def _shift3_dyn(x3, tau_min, tc_i, Tc, j):
@@ -228,7 +378,8 @@ class _Meta:
 
     def __init__(self, *, T, M, N, D, tile_d, chunk_b, cc, tau_min,
                  corr_js, three_pass, plane_dtype, kernel_precision,
-                 interpret, lax_precision, t_chunk=None):
+                 interpret, lax_precision, t_chunk=None, swap=True,
+                 t_window=None, bases=None):
         self.T, self.M, self.N, self.D = T, M, N, D
         self.tile_d, self.chunk_b, self.cc = tile_d, chunk_b, cc
         self.tau_min, self.corr_js = tau_min, corr_js
@@ -241,6 +392,32 @@ class _Meta:
         self.DP = _round_up(D, tile_d)
         self.t_chunk = t_chunk
         self.n_tc = None if t_chunk is None else -(-T // t_chunk)
+        self.swap = swap
+        self.t_window = t_window
+        self.bases = bases
+
+
+def _prep_corr(sf, Wc, m, BP, Bc, D, M):
+    """Boundary corrections in the kernel layout: (C, Bc, cc, DP) when the
+    swapped contraction is active, (C, DP, Bc, cc) otherwise."""
+    if Wc is None:
+        shape = ((BP // Bc, Bc, m.cc, m.DP) if m.swap
+                 else (BP // Bc, m.DP, Bc, m.cc))
+        return jnp.zeros(shape, jnp.float32)
+    sj = jnp.stack([sf[:, :, j].astype(jnp.float32)
+                    for j in m.corr_js], axis=1)           # (BP, J, M)
+    sjc = sj.reshape(BP // Bc, Bc, len(m.corr_js), M)
+    wcp = jnp.pad(Wc.astype(jnp.float32),
+                  ((0, 0), (0, m.DP - D), (0, 0), (0, 0)))
+    if m.swap:
+        corr = jnp.einsum("jdtm,cbjm->cbtd", wcp, sjc,
+                          precision=m.lax_precision)
+        return jnp.pad(corr, ((0, 0), (0, 0),
+                              (0, m.cc - corr.shape[2]), (0, 0)))
+    corr = jnp.einsum("jdtm,cbjm->cdbt", wcp, sjc,
+                      precision=m.lax_precision)
+    return jnp.pad(corr, ((0, 0), (0, 0), (0, 0),
+                          (0, m.cc - corr.shape[-1])))
 
 
 def _fused_forward(signals, W3, Wc, adaptive, meta):
@@ -278,24 +455,20 @@ def _fused_forward(signals, W3, Wc, adaptive, meta):
     s_chunks = s.reshape(BP // Bc, Bc, P, M, N).transpose(0, 2, 3, 1, 4)
 
     # narrow dense corrections in the kernel layout
-    if Wc is None:
-        corr = jnp.zeros((BP // Bc, m.DP, Bc, m.cc), jnp.float32)
-    else:
-        sj = jnp.stack([sf[:, :, j].astype(jnp.float32)
-                        for j in m.corr_js], axis=1)       # (BP, J, M)
-        sjc = sj.reshape(BP // Bc, Bc, len(m.corr_js), M)
-        wcp = jnp.pad(Wc.astype(jnp.float32),
-                      ((0, 0), (0, m.DP - D), (0, 0), (0, 0)))
-        corr = jnp.einsum("jdtm,cbjm->cdbt", wcp, sjc,
-                          precision=m.lax_precision)
-        corr = jnp.pad(corr, ((0, 0), (0, 0), (0, 0),
-                              (0, m.cc - corr.shape[-1])))
+    corr = _prep_corr(sf, Wc, m, BP, Bc, D, M)
 
     grid = (BP // Bc, m.DP // m.tile_d)
     kernel = functools.partial(
         _power_kernel, T=T, M=M, tau_min=m.tau_min, Bc=Bc, N=N, cc=m.cc,
         inv_n=np.float32(1.0 / M), inv_len=np.float32(1.0 / N),
-        precision=m.kernel_precision, three_pass=m.three_pass)
+        precision=m.kernel_precision, three_pass=m.three_pass, swap=m.swap)
+    corr_spec = (pl.BlockSpec((None, Bc, m.cc, m.tile_d),
+                              lambda b, d: (b, 0, 0, d),
+                              memory_space=pltpu.VMEM)
+                 if m.swap else
+                 pl.BlockSpec((None, m.tile_d, Bc, m.cc),
+                              lambda b, d: (b, d, 0, 0),
+                              memory_space=pltpu.VMEM))
     power = pl.pallas_call(
         kernel,
         grid=grid,
@@ -304,9 +477,7 @@ def _fused_forward(signals, W3, Wc, adaptive, meta):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, P, M, Bc, N), lambda b, d: (b, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, m.tile_d, Bc, m.cc),
-                         lambda b, d: (b, d, 0, 0),
-                         memory_space=pltpu.VMEM),
+            corr_spec,
         ],
         out_specs=pl.BlockSpec((None, Bc, m.tile_d), lambda b, d: (b, 0, d),
                                memory_space=pltpu.VMEM),
@@ -322,6 +493,93 @@ def _fused_forward(signals, W3, Wc, adaptive, meta):
             transcendentals=0,
         ),
     )(Wp, s_chunks, corr)
+    return power.reshape(BP, m.DP)[:B, :D]
+
+
+def _fused_forward_window(signals, W3, Wc, adaptive, meta):
+    """Windowed-K fused steered power (see :func:`_window_plan`): the
+    contraction for each direction tile runs over per-mic tap windows of
+    width ``meta.t_window`` instead of all T taps."""
+    m = meta
+    B = signals.shape[0]
+    Bc, N, D, M, T, P = m.chunk_b, m.N, m.D, m.M, m.T, m.n_planes
+    Tw = m.t_window
+    T_pad = _round_up(T + 7, 8)
+    ntiles = m.DP // m.tile_d
+    if B % Bc:
+        pad_b = Bc - B % Bc
+        signals = jnp.concatenate(
+            [signals, jnp.zeros((pad_b,) + signals.shape[1:],
+                                signals.dtype)], axis=0)
+    BP = signals.shape[0]
+
+    # compact per-tile weights: W[d, base[tile(d), m] + j, m] at column
+    # m*Tw + j (gather constant-folds: W3 and bases are jit constants);
+    # taps padded to T_pad with zero weights so clipped windows gather 0
+    Wr = jnp.pad(W3.astype(jnp.float32),
+                 ((0, m.DP - D), (0, T_pad - T), (0, 0))).reshape(
+        ntiles, m.tile_d, T_pad, M)
+    idx = (jnp.asarray(m.bases, jnp.int32)[:, None, None, :]
+           + jnp.arange(Tw, dtype=jnp.int32)[None, None, :, None])
+    Wcomp = jnp.take_along_axis(Wr, idx, axis=2)      # (nt, td, Tw, M)
+    Wcomp = Wcomp.transpose(0, 1, 3, 2).reshape(m.DP, M * Tw)
+    if m.three_pass:
+        hi, lo = _split_bf16(Wcomp)
+        Wp = jnp.stack([hi, lo])
+    else:
+        Wp = Wcomp.astype(m.plane_dtype)[None]
+
+    sf = signals[:, adaptive, :]
+    if m.three_pass:
+        hi, lo = _split_bf16(sf.astype(jnp.float32))
+        s = jnp.stack([hi, lo], axis=1)
+    else:
+        s = sf.astype(m.plane_dtype)[:, None]
+    s_chunks = s.reshape(BP // Bc, Bc, P, M, N).transpose(0, 2, 3, 1, 4)
+
+    corr = _prep_corr(sf, Wc, m, BP, Bc, D, M)
+
+    kernel = functools.partial(
+        _power_kernel_window, T_pad=T_pad, Tw=Tw, M=M, tau_min=m.tau_min,
+        Bc=Bc, N=N, cc=m.cc, inv_n=np.float32(1.0 / M),
+        inv_len=np.float32(1.0 / N), precision=m.kernel_precision,
+        three_pass=m.three_pass)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(BP // Bc, ntiles),
+        in_specs=[
+            pl.BlockSpec((P, m.tile_d, M * Tw),
+                         lambda b, d, bases: (0, d, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, P, M, Bc, N),
+                         lambda b, d, bases: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, Bc, m.cc, m.tile_d),
+                         lambda b, d, bases: (b, 0, 0, d),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, Bc, m.tile_d),
+                               lambda b, d, bases: (b, 0, d),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((P, M, T_pad, Bc * N), m.plane_dtype),
+            pltpu.VMEM((P, M * Tw, Bc * N), m.plane_dtype),
+        ],
+    )
+    power = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((BP // Bc, Bc, m.DP), jnp.float32),
+        interpret=m.interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * P * BP * m.DP * Tw * M * N,
+            bytes_accessed=4 * (BP // Bc * m.DP * Tw * M + BP * M * N
+                                + BP * m.DP),
+            transcendentals=0,
+        ),
+    )(jnp.asarray(m.bases, jnp.int32), Wp, s_chunks, corr)
     return power.reshape(BP, m.DP)[:B, :D]
 
 
@@ -353,18 +611,7 @@ def _fused_forward_tchunk(signals, W3, Wc, adaptive, meta):
     s = sf.astype(jnp.float32)[:, None]
     s_chunks = s.reshape(BP // Bc, Bc, 1, M, N).transpose(0, 2, 3, 1, 4)
 
-    if Wc is None:
-        corr = jnp.zeros((BP // Bc, m.DP, Bc, m.cc), jnp.float32)
-    else:
-        sj = jnp.stack([sf[:, :, j].astype(jnp.float32)
-                        for j in m.corr_js], axis=1)
-        sjc = sj.reshape(BP // Bc, Bc, len(m.corr_js), M)
-        wcp = jnp.pad(Wc.astype(jnp.float32),
-                      ((0, 0), (0, m.DP - D), (0, 0), (0, 0)))
-        corr = jnp.einsum("jdtm,cbjm->cdbt", wcp, sjc,
-                          precision=m.lax_precision)
-        corr = jnp.pad(corr, ((0, 0), (0, 0), (0, 0),
-                              (0, m.cc - corr.shape[-1])))
+    corr = _prep_corr(sf, Wc, m, BP, Bc, D, M)
 
     grid = (BP // Bc, n_tc, m.DP // m.tile_d)
     kernel = functools.partial(
@@ -372,7 +619,14 @@ def _fused_forward_tchunk(signals, W3, Wc, adaptive, meta):
         tau_min=m.tau_min, Bc=Bc, N=N, cc=m.cc,
         inv_n=np.float32(1.0 / M), inv_len=np.float32(1.0 / N),
         precision=m.kernel_precision, three_pass=m.three_pass,
-        tile_d=m.tile_d)
+        tile_d=m.tile_d, swap=m.swap)
+    corr_spec = (pl.BlockSpec((None, Bc, m.cc, m.tile_d),
+                              lambda b, tc, d: (b, 0, 0, d),
+                              memory_space=pltpu.VMEM)
+                 if m.swap else
+                 pl.BlockSpec((None, m.tile_d, Bc, m.cc),
+                              lambda b, tc, d: (b, d, 0, 0),
+                              memory_space=pltpu.VMEM))
     power = pl.pallas_call(
         kernel,
         grid=grid,
@@ -383,9 +637,7 @@ def _fused_forward_tchunk(signals, W3, Wc, adaptive, meta):
             pl.BlockSpec((None, 1, M, Bc, N),
                          lambda b, tc, d: (b, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, m.tile_d, Bc, m.cc),
-                         lambda b, tc, d: (b, d, 0, 0),
-                         memory_space=pltpu.VMEM),
+            corr_spec,
         ],
         out_specs=pl.BlockSpec((None, Bc, m.tile_d),
                                lambda b, tc, d: (b, 0, d),
@@ -393,7 +645,8 @@ def _fused_forward_tchunk(signals, W3, Wc, adaptive, meta):
         out_shape=jax.ShapeDtypeStruct((BP // Bc, Bc, m.DP), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((P, Tc * M, Bc * N), m.plane_dtype),
-            pltpu.VMEM((m.DP, Bc * N), jnp.float32),
+            pltpu.VMEM((Bc * N, m.DP) if m.swap else (m.DP, Bc * N),
+                       jnp.float32),
         ],
         interpret=m.interpret,
         compiler_params=pltpu.CompilerParams(
@@ -427,15 +680,19 @@ class FusedBeamformer:
 
     At ``precision='high'`` the 3-pass bf16 hi/lo emulation is *more*
     accurate than XLA's native HIGH (~5e-6 vs ~2.4e-5 max rel err on the
-    power map) and ~1.6x faster than the XLA-high path, so it serves the
-    production "high" rung outright.
+    power map) and ~2x faster than the XLA-high path, so it serves the
+    production "high" rung outright.  At ``'highest'`` the fused kernel
+    (f32 operands, ~4e-7) also beats XLA-high throughput — there is no
+    accuracy point where the unfused path wins on one chip.
     """
 
     def __init__(self, t: SteeringTables, tile_d: int = 256,
                  chunk_b: Optional[int] = None,
                  interpret: Optional[bool] = None,
                  force_tchunk: bool = False,
-                 vmem_budget: int = 28 * 1024 * 1024):
+                 vmem_budget: int = 28 * 1024 * 1024,
+                 swap: bool = True,
+                 window: Optional[bool] = None):
         self.t = t
         D, T, M = t.W.shape
         N = t.n_samples
@@ -469,7 +726,7 @@ class FusedBeamformer:
                               and not self.three_pass
                               else jax.lax.Precision.DEFAULT),
             lax_precision=t.lax_precision,
-            interpret=interpret)
+            interpret=interpret, swap=swap)
         isz = np.dtype(self.plane_dtype).itemsize
         P = self.n_planes
         vmem = (2 * P * tile_d * T * M * isz           # W tiles (dbl buf)
@@ -480,8 +737,18 @@ class FusedBeamformer:
         corr_fits = t.Wc is None or t.Wc.shape[2] <= self.cc
         self.vmem_bytes = vmem
         budget = vmem_budget
-        if corr_fits and vmem < budget and not force_tchunk:
+        if (corr_fits and vmem < budget and not force_tchunk
+                and window is not True):
             self.variant = "full"
+        elif (corr_fits and not force_tchunk and window is True
+              and self._plan_window(t, interpret, vmem_budget)):
+            # Windowed-K is OPT-IN only: correct (interpret-gated) and
+            # 2.04x fewer MACs at the reference shape, but the per-mic
+            # dynamic-slice gather makes the production Mosaic compiler
+            # blow up (~20 min then OOM-kill at the reference shape), and
+            # the Mosaic 8-alignment rule (Tw 13 -> 24) plus copy
+            # bandwidth ~ MXU time erodes the win to ~1.4x anyway.
+            pass          # _plan_window installed variant="window" + meta
         else:
             # Chunked-T variant (the reference shape: T=49 x 256 mics blows
             # the full delay-line scratch).  Pick the largest (chunk_b,
@@ -518,19 +785,75 @@ class FusedBeamformer:
                         plane_dtype=self.plane_dtype,
                         kernel_precision=self.meta.kernel_precision,
                         lax_precision=t.lax_precision,
-                        interpret=interpret, t_chunk=tc_len)
+                        interpret=interpret, t_chunk=tc_len, swap=swap)
         self.fits_vmem = self.variant != "xla"
         self._warned = False
-        self._call = jax.jit(self._forward)
+        # Tables enter the jit as ARGUMENTS, not closure constants: baking
+        # the reference-shape W (~91 MB f32) into the program as a
+        # constant inflates the compile request to ~180 MB and blows the
+        # (remote) compile time from seconds to tens of minutes.  The
+        # per-call weight prep this costs is O(|W|) elementwise — <1% of a
+        # batch.
+        self._jit = jax.jit(self._forward)
+        self._call = lambda signals: self._jit(
+            signals, self.t.W, self.t.Wc, self.t.adaptive)
 
-    def _forward(self, signals: jax.Array) -> jax.Array:
+    def _plan_window(self, t: SteeringTables, interpret: bool,
+                     vmem_budget: int) -> bool:
+        """Try the windowed-K variant (see :func:`_window_plan`).  Installs
+        variant="window" + meta and returns True when a per-mic tap-window
+        plan both shrinks the contraction (>=10%) and fits VMEM."""
+        D, T, M = t.W.shape
+        N = t.n_samples
+        Wnp = np.asarray(t.W).astype(np.float32)
+        isz = np.dtype(self.plane_dtype).itemsize
+        P = self.n_planes
+        budget = max(vmem_budget, 80 * 1024 * 1024)
+        best = None
+        for tile_d in (128, 256):
+            bases, Tw, T_pad = _window_plan(Wnp, tile_d)
+            if M * Tw > 0.9 * T * M:
+                continue
+            for cb in (16, 8, 4, 2, 1):
+                est = (2 * P * tile_d * M * Tw * isz     # W tiles (dbl buf)
+                       + P * M * cb * N * isz            # resident signals
+                       + P * M * T_pad * cb * N * isz    # mic-major lines
+                       + P * M * Tw * cb * N * isz       # compact scratch
+                       + 2 * tile_d * cb * N * 4         # acc + out
+                       + 2 * cb * self.cc * tile_d * 4)  # corr
+                if est >= budget:
+                    continue
+                # maximize MXU volume (cb), then the K cut (small Tw)
+                key = (cb, -M * Tw)
+                if best is None or key > best[0]:
+                    best = (key, tile_d, cb, bases, Tw, est)
+                break
+        if best is None:
+            return False
+        _, tile_d, cb, bases, Tw, est = best
+        self.variant = "window"
+        self.tile_d, self.chunk_b = tile_d, cb
+        self.DP = _round_up(self.meta.D, tile_d)
+        self.vmem_bytes = est
+        self.meta = _Meta(
+            T=T, M=M, N=N, D=self.meta.D, tile_d=tile_d, chunk_b=cb,
+            cc=self.cc, tau_min=t.tau_min, corr_js=t.corr_js,
+            three_pass=self.three_pass, plane_dtype=self.plane_dtype,
+            kernel_precision=self.meta.kernel_precision,
+            lax_precision=t.lax_precision, interpret=interpret,
+            t_window=Tw, bases=bases)
+        return True
+
+    def _forward(self, signals: jax.Array, W: jax.Array,
+                 Wc: Optional[jax.Array], adaptive: jax.Array) -> jax.Array:
         t = self.t
         squeeze = signals.ndim == 2
         if squeeze:
             signals = signals[None]
-        fwd = (_fused_forward_tchunk if self.variant == "tchunk"
-               else _fused_forward)
-        power = fwd(signals, t.W, t.Wc, t.adaptive, self.meta)
+        fwd = {"tchunk": _fused_forward_tchunk,
+               "window": _fused_forward_window}.get(
+            self.variant, _fused_forward)
+        power = fwd(signals, W, Wc, adaptive, self.meta)
         power = power.reshape(signals.shape[0], t.res_x, t.res_y)
         return power[0] if squeeze else power
 
