@@ -114,29 +114,29 @@ def sharded_fused_power(mesh: Mesh, t: SteeringTables, tile_d: int = 256,
     D_loc = DP_total // n_model
     D_true = t.res_x * t.res_y
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    if chunk_b is None:
-        chunk_b = 16 if t.W.dtype.itemsize == 2 and t.precision != "high" \
-            else 8
-    three_pass = (t.precision == "high" and t.W.dtype.itemsize == 4)
-    meta = pk._Meta(
-        T=T, M=M, N=t.n_samples, D=D_loc, tile_d=min(tile_d, D_loc),
-        chunk_b=chunk_b,
-        cc=min(max(8, -(-(t.Wc.shape[2] if t.Wc is not None else 0) // 8)
-                   * 8), t.n_samples),
-        tau_min=t.tau_min, corr_js=t.corr_js, three_pass=three_pass,
-        plane_dtype=jnp.bfloat16 if three_pass else t.W.dtype,
-        kernel_precision=(jax.lax.Precision.HIGHEST
-                          if t.precision == "highest" and not three_pass
-                          else jax.lax.Precision.DEFAULT),
-        lax_precision=t.lax_precision,
+        # decide by the MESH's devices: a CPU mesh under a TPU-default
+        # backend (the dryrun case) must interpret, and vice versa
+        interpret = mesh.devices.flat[0].platform != "tpu"
+
+    # Per-shard variant selection (full / tchunk) via FusedBeamformer on a
+    # local-shape slice of the tables — a reference-shape shard would blow
+    # VMEM in the full variant just like on one chip.
+    t_loc = dataclasses.replace(
+        t,
+        W=jax.device_put(np.asarray(t.W)[:D_loc], jax.devices()[0]),
+        Wc=None if t.Wc is None else jax.device_put(
+            np.asarray(t.Wc)[:, :D_loc], jax.devices()[0]))
+    selector = pk.FusedBeamformer(
+        t_loc, tile_d=min(tile_d, D_loc), chunk_b=chunk_b,
         interpret=interpret)
+    meta = selector.meta
+    fwd = {"tchunk": pk._fused_forward_tchunk}.get(
+        selector.variant, pk._fused_forward)
 
     has_wc = t.Wc is not None
 
     def local(frames, W, Wc, adaptive):
-        return pk._fused_forward(frames, W,
-                                 Wc if has_wc else None, adaptive, meta)
+        return fwd(frames, W, Wc if has_wc else None, adaptive, meta)
 
     wc_arg = t.Wc if has_wc else jnp.zeros((1,), t.W.dtype)
     fn = shard_map(
