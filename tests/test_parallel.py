@@ -48,6 +48,42 @@ def test_sharded_fused_matches_single(tiny_cfg, rng, shape):
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-10)
 
 
+def test_sharded_fft_power_matches_single(tiny_cfg, rng):
+    """Frequency bins sharded over ``model`` (with repeat-padding + zero
+    weights masking the duplicates) must reproduce the single-device
+    Bartlett map exactly."""
+    from zybo_rt_sampler_image_detection_tpu.ops import freq
+
+    frames = np.stack([synth_frame(tiny_cfg, rng) for _ in range(8)])
+    t = freq.make_freq_tables(tiny_cfg, 100.0)
+    ref = np.asarray(freq.fft_steered_power(frames, t))
+
+    m = pmesh.make_mesh(2, 4)
+    fn = pmesh.sharded_fft_power(m, t)
+    np.testing.assert_allclose(np.asarray(fn(frames)), ref,
+                               rtol=1e-6, atol=1e-12)
+
+
+def test_sharded_mvdr_matches_single(tiny_cfg, rng):
+    """Streaming-MVDR state sharded by bins over the whole mesh: the RLS
+    update + Capon map must match single-device numerics, with padded
+    (duplicated) bins masked out of the map."""
+    from zybo_rt_sampler_image_detection_tpu.ops import freq
+
+    frames = np.stack([synth_frame(tiny_cfg, rng) for _ in range(4)])
+    t = freq.make_freq_tables(tiny_cfg, 100.0)
+    st0 = freq.init_precision(t)
+    st0 = freq.update_precision(st0, frames, t)
+    ref = np.asarray(freq.mvdr_power_precision(st0, t))
+
+    m = pmesh.make_mesh(4, 2)
+    tp, w = pmesh.shard_freq_tables(t, m, axes=("data", "model"))
+    sp = pmesh.shard_precision_state(freq.init_precision(tp), m)
+    sp = freq.update_precision(sp, frames, tp)
+    got = np.asarray(freq.mvdr_power_precision(sp, tp, "high", w))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-10)
+
+
 def test_sharded_matches_single_hybrid(tiny_cfg, rng):
     """Model-sharding with the hybrid algorithm exercises the 4-D
     correction tensor partitioning."""

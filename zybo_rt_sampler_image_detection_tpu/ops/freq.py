@@ -103,11 +103,16 @@ def _frame_fft(signals: jax.Array, t: FreqTables) -> Tuple[jax.Array, jax.Array]
 
 
 @jax.jit
-def fft_steered_power(signals: jax.Array, t: FreqTables) -> jax.Array:
+def fft_steered_power(signals: jax.Array, t: FreqTables,
+                      bin_weights: Optional[jax.Array] = None) -> jax.Array:
     """Bartlett steered power (B, X, Y): ``sum_f |sum_m S[f,m] P[f,m,d]|^2``.
 
     Matches ``beam_forming_algorithm.main`` before its normalize/threshold
     step (display logic; see :func:`normalize_heatmap`).
+
+    ``bin_weights`` (F,) scales each bin's contribution to the sum — used
+    by the sharded path (``parallel.mesh.shard_freq_tables``) to mask the
+    bins that pad F to a device-count multiple.
     """
     squeeze = signals.ndim == 2
     if squeeze:
@@ -119,7 +124,10 @@ def fft_steered_power(signals: jax.Array, t: FreqTables) -> jax.Array:
     ir = jnp.einsum("bfm,fmd->bfd", si, t.phase_re, precision=_HI)
     re_d = rr - ii
     im_d = ri + ir
-    power = jnp.sum(re_d * re_d + im_d * im_d, axis=1)  # (B, D)
+    per_bin = re_d * re_d + im_d * im_d
+    if bin_weights is not None:
+        per_bin = per_bin * bin_weights[None, :, None]
+    power = jnp.sum(per_bin, axis=1)                  # (B, D)
     power = power.reshape(-1, t.res_x, t.res_y)
     return power[0] if squeeze else power
 
@@ -387,9 +395,13 @@ def refresh_precision(state: PrecisionState, t: FreqTables) -> PrecisionState:
 
 @partial(jax.jit, static_argnames=("grid_precision",))
 def mvdr_power_precision(state: PrecisionState, t: FreqTables,
-                         grid_precision: str = "high") -> jax.Array:
+                         grid_precision: str = "high",
+                         bin_weights: Optional[jax.Array] = None
+                         ) -> jax.Array:
     """Capon spectrum directly from the streaming inverse — matmuls only,
-    no factorization: the real-time MVDR map (every frame, full rate)."""
+    no factorization: the real-time MVDR map (every frame, full rate).
+
+    ``bin_weights`` (F,) masks padded bins on the sharded path."""
     prec = {"highest": jax.lax.Precision.HIGHEST,
             "high": jax.lax.Precision.HIGH,
             "default": jax.lax.Precision.DEFAULT}[grid_precision]
@@ -402,7 +414,10 @@ def mvdr_power_precision(state: PrecisionState, t: FreqTables,
     denom = (jnp.einsum("fmd,fmd->fd", a_re, Pa_re, precision=prec)
              + jnp.einsum("fmd,fmd->fd", a_im, Pa_im, precision=prec))
     denom = jnp.maximum(denom, 1e-12)
-    power = jnp.sum(1.0 / denom, axis=0)
+    per_bin = 1.0 / denom
+    if bin_weights is not None:
+        per_bin = per_bin * bin_weights[:, None]
+    power = jnp.sum(per_bin, axis=0)
     return power.reshape(t.res_x, t.res_y)
 
 

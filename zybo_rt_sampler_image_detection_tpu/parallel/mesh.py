@@ -154,3 +154,94 @@ def sharded_fused_power(mesh: Mesh, t: SteeringTables, tile_d: int = 256,
         return flat[:, :D_true].reshape(frames.shape[0], t.res_x, t.res_y)
 
     return run
+
+
+# ---------------------------------------------------------------------------
+# Frequency-domain sharding: the bin axis is embarrassingly parallel
+# ---------------------------------------------------------------------------
+
+def shard_freq_tables(t, mesh: Mesh, axes: Sequence[str] = ("model",)):
+    """Lay a :class:`~..ops.freq.FreqTables` out with the frequency-bin
+    axis sharded over the given mesh axes.
+
+    Every frequency-domain op (Bartlett, covariance/precision updates,
+    Capon map) is per-bin with one final sum over bins, so sharding F
+    makes XLA run each device's bins independently and insert a single
+    psum at the output.  F is padded to a device-count multiple by
+    REPEATING the last bin (zero-padding would make padded Capon
+    denominators blow up); the returned ``bin_weights`` (1 real / 0
+    padded) mask the duplicates out of the final sums — pass them to
+    ``fft_steered_power`` / ``mvdr_power_precision``.
+
+    Returns ``(tables, bin_weights)``.
+    """
+    from ..ops import freq as _freq  # noqa: F401  (type of t)
+
+    ax = tuple(axes)
+    ndev = int(np.prod([mesh.shape[a] for a in ax]))
+    F = t.phase_re.shape[0]
+    FP = -(-F // ndev) * ndev
+    pad = FP - F
+
+    def padf(x, axis):
+        if pad == 0:
+            return jnp.asarray(x)
+        last = jnp.take(x, jnp.full((pad,), x.shape[axis] - 1), axis=axis)
+        return jnp.concatenate([jnp.asarray(x), last], axis=axis)
+
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    bins = P(ax)
+    t2 = dataclasses.replace(
+        t,
+        phase_re=put(padf(t.phase_re, 0), P(ax, None, None)),
+        phase_im=put(padf(t.phase_im, 0), P(ax, None, None)),
+        dft_re=put(padf(t.dft_re, 1), P(None, ax)),
+        dft_im=put(padf(t.dft_im, 1), P(None, ax)),
+        idft_re=put(padf(t.idft_re, 0), P(ax, None)),
+        idft_im=put(padf(t.idft_im, 0), P(ax, None)),
+        adaptive=put(t.adaptive, P()),
+        hi=t.lo + FP,
+    )
+    w = put(jnp.concatenate([jnp.ones(F, jnp.float32),
+                             jnp.zeros(pad, jnp.float32)]), bins)
+    return t2, w
+
+
+def sharded_fft_power(mesh: Mesh, t):
+    """pjit'd FFT-domain Bartlett heatmap: frames shard over ``data``,
+    frequency bins over ``model``; XLA inserts the bin-sum psum at the
+    output boundary.  Returns ``fn(frames (B, ch, N)) -> (B, X, Y)``."""
+    from ..ops import freq
+
+    tp, w = shard_freq_tables(t, mesh, axes=("model",))
+    data = NamedSharding(mesh, P("data", None, None))
+
+    @jax.jit
+    def run(frames, tp, w):
+        return freq.fft_steered_power(frames, tp, w)
+
+    return lambda frames: run(jax.device_put(frames, data), tp, w)
+
+
+def shard_precision_state(st, mesh: Mesh,
+                          axes: Sequence[str] = ("data", "model")):
+    """Lay a streaming-MVDR :class:`~..ops.freq.PrecisionState` out with
+    its per-bin matrices sharded over the given mesh axes (the RLS stream
+    has no frame batch, so bins shard over the WHOLE mesh by default).
+    Build the state from tables already padded by
+    :func:`shard_freq_tables` with the same axes."""
+    from ..ops import freq
+
+    ax = tuple(axes)
+    spec3 = NamedSharding(mesh, P(ax, None, None))
+    rep = NamedSharding(mesh, P())
+    return freq.PrecisionState(
+        P_re=jax.device_put(st.P_re, spec3),
+        P_im=jax.device_put(st.P_im, spec3),
+        cov=freq.CovarianceState(
+            R_re=jax.device_put(st.cov.R_re, spec3),
+            R_im=jax.device_put(st.cov.R_im, spec3),
+            count=jax.device_put(st.cov.count, rep)),
+        load=st.load)
