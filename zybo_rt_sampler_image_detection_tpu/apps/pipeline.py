@@ -57,6 +57,24 @@ def put_drop_oldest(q: queue.Queue, item) -> bool:
             return False
 
 
+def default_power_fn(tables):
+    """Production policy for the heatmap stages' device program:
+
+    * ``high`` / ``bf16`` rungs on TPU -> the fused Pallas kernel (faster
+      AND more accurate than XLA's native HIGH — BENCHMARKS.md);
+    * ``highest`` (the bit-level reference-exactness mode) or non-TPU
+      backends (where the kernel would run in slow interpret mode) ->
+      the exact XLA formulation.
+    """
+    if tables.precision != "highest" and jax.default_backend() == "tpu":
+        from ..ops.pallas_kernels import FusedBeamformer
+
+        fused = FusedBeamformer(tables)
+        if fused.fits_vmem:
+            return fused._call
+    return lambda f: beamform.steered_power(f, tables)
+
+
 class Stage(threading.Thread):
     def __init__(self, name: str, metrics: PipelineMetrics):
         super().__init__(name=name, daemon=True)
@@ -74,8 +92,7 @@ class HeatmapProducer(Stage):
         self.receiver = receiver
         self.tables = tables
         self.q_power = q_power
-        self.power_fn = power_fn or (
-            lambda f: beamform.steered_power(f, self.tables))
+        self.power_fn = power_fn or default_power_fn(tables)
 
     def run(self):
         seq = 0
@@ -133,18 +150,30 @@ class BatchedHeatmapProducer(Stage):
             # it and warns, so only donate on device backends
             donate = (0,) if jax.default_backend() != "cpu" else ()
             n_full = receiver.cfg.n_microphones
+            fused = None
+            if tables.precision != "highest" \
+                    and jax.default_backend() == "tpu":
+                from ..ops.pallas_kernels import FusedBeamformer
 
+                f = FusedBeamformer(tables)
+                if f.fits_vmem:
+                    fused = f
+
+            # tables enter as a pytree ARGUMENT (constants would bloat the
+            # compile request — see pallas_kernels.FusedBeamformer)
             @partial(jax.jit, donate_argnums=donate)
-            def _power(frames):
+            def _power(frames, t):
                 # channel-sliced transfers are padded back to the full
                 # mic axis on device (the tail rows are always zero)
                 pad = n_full - frames.shape[1]
                 if pad > 0:
                     frames = jax.numpy.pad(frames,
                                            ((0, 0), (0, pad), (0, 0)))
-                return beamform.steered_power(frames, tables)
+                if fused is not None:
+                    return fused._forward(frames, t.W, t.Wc, t.adaptive)
+                return beamform.steered_power(frames, t)
 
-            power_fn = _power
+            power_fn = lambda frames: _power(frames, tables)  # noqa: E731
         self.power_fn = power_fn
 
     def _default_sink(self, powers: np.ndarray, first_seq: int):
