@@ -91,6 +91,62 @@ def test_live_loopback_receive(backend):
     assert min(errs) < 2.0 / cfg.norm_factor
 
 
+@pytest.mark.parametrize("backend", ["python", "native"])
+def test_garbage_datagram_fuzz(backend):
+    """Malformed datagrams (random bytes, random lengths, wrong protocol
+    version) interleaved with a valid stream must not crash either ingest
+    engine or corrupt subsequent frame assembly."""
+    import socket
+
+    cfg = _loopback_cfg(21930 if backend == "python" else 21931)
+    rng = np.random.default_rng(5)
+    frames = [(rng.standard_normal((cfg.n_microphones, cfg.n_samples)) * 0.1
+               ).astype(np.float32) for _ in range(4)]
+    psize = protocol.packet_size(cfg)
+
+    r = receiver.Receiver(cfg, replay_mode=True, backend=backend,
+                          exact_reference=False)
+
+    def fuzz():
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        deadline = time.time() + 3.0
+        while time.time() < deadline:
+            size = int(rng.integers(1, psize * 2))
+            pkt = bytearray(rng.integers(0, 256, size, dtype=np.uint8)
+                            .tobytes())
+            if size > 3:
+                # force a version mismatch so the engine must DROP it (a
+                # random ver byte could legitimately alias a real packet)
+                pkt[3] = (cfg.fpga_protocol_version + 1) & 0xFF
+            s.sendto(bytes(pkt), ("127.0.0.1", cfg.udp_port))
+            time.sleep(0.002)
+        s.close()
+
+    # valid header must arrive first so connect() handshakes cleanly
+    streamer.stream_in_background(cfg, frames, n_arrays=1, delay=0.2,
+                                  exact_reference=False,
+                                  rate=2 * cfg.sample_rate)
+    n_arrays = r.connect(timeout=5.0)
+    assert n_arrays == 1
+    t = threading.Thread(target=fuzz, daemon=True)
+    t.start()
+    seq, ok = 0, 0
+    deadline = time.time() + 5.0
+    while time.time() < deadline and ok < 3:
+        try:
+            got, seq = r.read_frame(fresh=True, last_seq=seq, timeout=2.0)
+        except TimeoutError:
+            continue
+        errs = [np.abs(got - f).max() for f in frames]
+        if min(errs) < 2.0 / cfg.norm_factor:
+            ok += 1
+    stats = r.native_stats
+    r.disconnect()
+    t.join(timeout=5.0)
+    assert ok >= 3, f"valid frames stopped arriving under fuzz ({ok})"
+    assert stats.bad_protocol > 0, "fuzz packets were not rejected"
+
+
 def test_protocol_mismatch_rejected():
     cfg = _loopback_cfg(21902)
     bad = cfg.replace(fpga_protocol_version=1)

@@ -239,6 +239,39 @@ def test_web_replay_selection(tmp_path):
         server.camera.stop()
 
 
+def test_web_mvdr_backend():
+    """Backend 4 (beyond reference): real-time MVDR over the web app —
+    the route starts a pipeline whose power_fn is the streaming Capon map,
+    and /metrics reports it."""
+    import json
+    import urllib.request
+
+    cfg = zrt.Config.tiny().replace(udp_port=21926)
+    frames = _source_frames(cfg, 4, 3, n=200)
+    streamer.stream_in_background(cfg, frames, n_arrays=1, delay=0.3,
+                                  exact_reference=False,
+                                  rate=2 * cfg.sample_rate)
+    from zybo_rt_sampler_image_detection_tpu.apps.web import make_server
+    server = make_server(cfg, replay=True, port=0, headless_camera=True)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/enableBackend4", timeout=30).read()
+        rep = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics", timeout=5).read())
+        assert rep["backend"] == "mvdr"
+        assert rep["running"] is True
+        # the injected power_fn is the MVDR closure, not the default
+        assert server.camera.pipeline._power_fn is not None
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/disconnect", timeout=30).read()
+    finally:
+        server.shutdown()
+        server.camera.stop()
+
+
 def test_web_metrics_and_hardened_routes():
     """/metrics returns a JSON health snapshot; malformed backend paths get
     404 (not a handler-thread stack trace); /replay escapes untrusted file

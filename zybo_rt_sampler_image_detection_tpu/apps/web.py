@@ -8,6 +8,8 @@ Re-implements the reference Django app (``PC/application``) on the stdlib
 * ``/enableBackend1``   — pad delay-and-sum backend  (``views.py:49-55``)
 * ``/enableBackend2``   — convolve backend
 * ``/enableBackend3``   — FFT-domain backend         (``camera.py:68-73``)
+* ``/enableBackend4``   — real-time MVDR backend (beyond reference:
+                          streaming-inverse Capon, see ``ops/freq``)
 * ``/sound``            — pad + steered MISO audio   (``views.py``)
 * ``/monitor``          — multipart/x-mixed-replace MJPEG stream
                           (``camera.py:129-133`` gen)
@@ -52,6 +54,7 @@ _PAGE = """<!doctype html><html><head><title>zybo-rt-tpu</title></head>
  <a href="/enableBackend1?threshold={threshold}&amount={amount}">pad</a> |
  <a href="/enableBackend2?threshold={threshold}&amount={amount}">convolve</a> |
  <a href="/enableBackend3?threshold={threshold}&amount={amount}">fft</a> |
+ <a href="/enableBackend4?threshold={threshold}&amount={amount}">mvdr</a> |
  <a href="/sound?threshold={threshold}&amount={amount}">pad + sound</a> |
  <a href="/replay">replay</a> |
  <a href="/disconnect">disconnect</a>
@@ -66,7 +69,7 @@ _PAGE = """<!doctype html><html><head><title>zybo-rt-tpu</title></head>
 <img src="/monitor" style="max-width:90%">
 </body></html>"""
 
-_BACKENDS = {1: "pad", 2: "convolve", 3: "fft"}
+_BACKENDS = {1: "pad", 2: "convolve", 3: "fft", 4: "mvdr"}
 
 _REPLAY_PAGE = """<!doctype html><html><body style="font-family:sans-serif">
 <h2>replay a capture</h2><p>{status}</p><ul>{items}</ul>
@@ -116,12 +119,28 @@ class VideoCamera:
         with self._lock:
             self._stop_locked()
             algo = _BACKENDS.get(backend, "pad")
-            p = Pipeline(self.cfg, algorithm="pad" if algo == "fft" else algo,
+            time_algo = "pad" if algo in ("fft", "mvdr") else algo
+            p = Pipeline(self.cfg, algorithm=time_algo,
                          replay_mode=self.replay, audio_sink="null")
             if algo == "fft":
                 from ..ops import freq
                 ft = freq.make_freq_tables(self.cfg)
                 p._power_fn = lambda f: freq.fft_steered_power(f, ft)
+            elif algo == "mvdr":
+                # streaming-inverse (RLS) Capon map per frame, exact
+                # Cholesky refresh every 256 frames (demo.py mvdr parity)
+                from ..ops import freq
+                ft = freq.make_freq_tables(self.cfg, 100.0)
+                st = {"p": freq.init_precision(ft), "n": 0}
+
+                def _mvdr(f, _t=ft, _s=st):
+                    _s["p"] = freq.update_precision(_s["p"], f, _t)
+                    _s["n"] += 1
+                    if _s["n"] % 256 == 0:
+                        _s["p"] = freq.refresh_precision(_s["p"], _t)
+                    return freq.mvdr_power_precision(_s["p"], _t)
+
+                p._power_fn = _mvdr
             p.connect()
             p.start_heatmap()
             if sound:
@@ -339,7 +358,7 @@ def serve(replay: bool = False, port: int = 8000, udp_port=None,
         cfg = cfg.replace(udp_port=udp_port)
     server = make_server(cfg, replay, port, headless_camera)
     print(f"serving on http://127.0.0.1:{port}  (routes: /, /monitor, "
-          f"/enableBackend1..3, /sound, /disconnect)")
+          f"/enableBackend1..4, /sound, /disconnect)")
     try:
         server.serve_forever()
     except KeyboardInterrupt:
