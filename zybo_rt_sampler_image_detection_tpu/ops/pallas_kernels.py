@@ -95,20 +95,46 @@ def _shift3(x3: jax.Array, tau: int) -> jax.Array:
     return jnp.concatenate([x3[:, :, -tau:], z], axis=2)
 
 
-def _power_kernel(w_ref, s_ref, corr_ref, out_ref, sdel_ref, *, T, M,
-                  tau_min, Bc, N, cc, inv_n, inv_len, precision,
+def _shift_flat(x2, tau, N, pos):
+    """Zero-fill shift by ``tau`` along time WITHIN each frame of a flat
+    (M, Bc*N) layout: a flat lane shift leaks samples across the frame
+    boundaries at every multiple of N, so the leaked lanes (whose
+    within-frame position ``pos = lane % N`` falls outside the shift
+    range) are masked to zero — same semantics as shifting each (M, N)
+    block separately, without needing the (M, Bc, N) view."""
+    M, BN = x2.shape
+    if tau == 0:
+        return x2
+    if tau >= N or tau <= -N:
+        return jnp.zeros_like(x2)
+    if tau > 0:
+        sh = jnp.concatenate(
+            [jnp.zeros((M, tau), x2.dtype), x2[:, :BN - tau]], axis=1)
+        return jnp.where(pos >= tau, sh, jnp.zeros_like(sh))
+    sh = jnp.concatenate(
+        [x2[:, -tau:], jnp.zeros((M, -tau), x2.dtype)], axis=1)
+    return jnp.where(pos < N + tau, sh, jnp.zeros_like(sh))
+
+
+def _power_kernel(w_ref, s_ref, corr_ref, out_ref, sdel_ref, sstage_ref,
+                  *, T, M, tau_min, Bc, N, cc, inv_n, inv_len, precision,
                   three_pass, swap):
     """One (frame-chunk, direction-tile) grid cell.
 
     w_ref:    (P, TILE_D, T*M) delay-line weights for this direction tile
               (P=1, or P=2 hi/lo bf16 planes in three-pass mode)
-    s_ref:    (P, M, Bc, N)   resident signal chunk
+    s_ref:    (Bc, P, M, N)   resident signal chunk, NATURAL frame order —
+              the (M, Bc·N) relayout happens on-chip (Bc slice-copies into
+              ``sstage_ref``); the XLA host-side transpose this replaces
+              ran at ~14 GB/s and cost ~10% of the whole path
     corr_ref: boundary corrections (to subtract):
               (TILE_D, Bc, cc) plain / (Bc, cc, TILE_D) swapped
     out_ref:  (Bc, TILE_D)    mean power per (frame, direction)
-    sdel_ref: (P, T*M, Bc, N) VMEM scratch — the on-chip delay lines,
+    sdel_ref: (P, T*M, Bc*N) VMEM scratch — the on-chip delay lines,
               built once per frame chunk (first direction tile) and reused
               by the remaining ~D/TILE_D tiles; it never exists in HBM.
+    sstage_ref: (P, M, Bc*N) VMEM scratch — signals in delay-line column
+              order, built by Bc plain copies.
 
     ``three_pass`` emulates f32 precision from bf16 planes (Mosaic lacks
     Precision.HIGH): x = hi + lo => W@S ≈ Whi@Shi + Whi@Slo + Wlo@Shi.
@@ -128,10 +154,16 @@ def _power_kernel(w_ref, s_ref, corr_ref, out_ref, sdel_ref, *, T, M,
     @pl.when(pl.program_id(1) == 0)
     def _build_delay_lines():
         for pidx in range(n_planes):
-            x3 = s_ref[pidx]
+            for b in range(Bc):
+                sstage_ref[pidx, :, pl.ds(b * N, N)] = s_ref[b, pidx]
+        pos = jax.lax.rem(
+            jax.lax.broadcasted_iota(jnp.int32, (M, Bc * N), 1),
+            jnp.int32(N))
+        for pidx in range(n_planes):
+            x2 = sstage_ref[pidx]
             for t in range(T):
-                sdel_ref[pidx, pl.ds(t * M, M), :] = _shift3(
-                    x3, tau_min + t).reshape(M, Bc * N)
+                sdel_ref[pidx, pl.ds(t * M, M), :] = _shift_flat(
+                    x2, tau_min + t, N, pos)
 
     tile_d = w_ref.shape[1]
     if swap:
@@ -406,14 +438,23 @@ def _prep_corr(sf, Wc, m, BP, Bc, D, M):
         return jnp.zeros(shape, jnp.float32)
     sj = jnp.stack([sf[:, :, j].astype(jnp.float32)
                     for j in m.corr_js], axis=1)           # (BP, J, M)
-    sjc = sj.reshape(BP // Bc, Bc, len(m.corr_js), M)
+    J = len(m.corr_js)
+    if m.swap:
+        # ONE flat matmul whose RHS column order IS the kernel layout
+        # (row-major (cc, DP)): (BP, J*M) @ (J*M, cc*DP) -> reshape, no
+        # transpose.  The einsum formulation produced the (C, Bc, cc, DP)
+        # tensor through a layout-hostile batched contraction that ran at
+        # ~34 GB/s (~40% of the whole fused path's prologue).
+        Tc = Wc.shape[2]
+        wcp = jnp.pad(Wc.astype(jnp.float32),
+                      ((0, 0), (0, m.DP - D), (0, m.cc - Tc), (0, 0)))
+        wct = wcp.transpose(0, 3, 2, 1).reshape(J * M, m.cc * m.DP)
+        corr = jnp.dot(sj.reshape(BP, J * M), wct,
+                       precision=m.lax_precision)
+        return corr.reshape(BP // Bc, Bc, m.cc, m.DP)
+    sjc = sj.reshape(BP // Bc, Bc, J, M)
     wcp = jnp.pad(Wc.astype(jnp.float32),
                   ((0, 0), (0, m.DP - D), (0, 0), (0, 0)))
-    if m.swap:
-        corr = jnp.einsum("jdtm,cbjm->cbtd", wcp, sjc,
-                          precision=m.lax_precision)
-        return jnp.pad(corr, ((0, 0), (0, 0),
-                              (0, m.cc - corr.shape[2]), (0, 0)))
     corr = jnp.einsum("jdtm,cbjm->cdbt", wcp, sjc,
                       precision=m.lax_precision)
     return jnp.pad(corr, ((0, 0), (0, 0), (0, 0),
@@ -452,7 +493,8 @@ def _fused_forward(signals, W3, Wc, adaptive, meta):
         s = jnp.stack([hi, lo], axis=1)                   # (BP, P, M, N)
     else:
         s = sf.astype(m.plane_dtype)[:, None]
-    s_chunks = s.reshape(BP // Bc, Bc, P, M, N).transpose(0, 2, 3, 1, 4)
+    # natural frame order — the (M, Bc*N) relayout happens in-kernel
+    s_chunks = s.reshape(BP // Bc, Bc, P, M, N)
 
     # narrow dense corrections in the kernel layout
     corr = _prep_corr(sf, Wc, m, BP, Bc, D, M)
@@ -475,14 +517,15 @@ def _fused_forward(signals, W3, Wc, adaptive, meta):
         in_specs=[
             pl.BlockSpec((P, m.tile_d, T * M), lambda b, d: (0, d, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, P, M, Bc, N), lambda b, d: (b, 0, 0, 0, 0),
+            pl.BlockSpec((None, Bc, P, M, N), lambda b, d: (b, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             corr_spec,
         ],
         out_specs=pl.BlockSpec((None, Bc, m.tile_d), lambda b, d: (b, 0, d),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((BP // Bc, Bc, m.DP), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((P, T * M, Bc * N), m.plane_dtype)],
+        scratch_shapes=[pltpu.VMEM((P, T * M, Bc * N), m.plane_dtype),
+                        pltpu.VMEM((P, M, Bc * N), m.plane_dtype)],
         interpret=m.interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
@@ -730,7 +773,7 @@ class FusedBeamformer:
         isz = np.dtype(self.plane_dtype).itemsize
         P = self.n_planes
         vmem = (2 * P * tile_d * T * M * isz           # W tiles (dbl buf)
-                + P * M * chunk_b * N * isz            # resident signals
+                + 2 * P * M * chunk_b * N * isz        # signals + stage
                 + P * T * M * chunk_b * N * isz        # delay-line scratch
                 + 2 * tile_d * chunk_b * N * 4         # acc + beams
                 + 2 * tile_d * chunk_b * self.cc * 4)  # corr
