@@ -13,14 +13,15 @@ frames with near-minimal HBM traffic:
 * the per-direction mean power reduces in-register — the (D, B*N) beam
   tensor never exists in HBM either.
 
-Measured (64 ch x 65x65, B=512, one v5e): ~43k heatmaps/s at bf16,
-~18.5k at "high" (3-pass bf16 emulation, ~5e-6 rel err), ~10.3k at
-bit-level f32 — each the fastest path at its accuracy, 10-45x the
+Measured (64 ch x 65x65, B=512, one v5e): ~47k heatmaps/s at bf16,
+~19.2k at "high" (3-pass bf16 emulation, ~5e-6 rel err), ~10.5k at
+bit-level f32 — each the fastest path at its accuracy, 10-47x the
 project's north-star target.  The serial per-direction C loop of
 ``pad_and_sum.c:114-142`` becomes a compute-bound systolic-array
-program.  The round-2 "swapped contraction" (see ``_power_kernel``)
-runs the same MXU work ~1.3-1.7x faster by producing the beam tensor
-directly in the output orientation.
+program.  Round-2 optimizations: the "swapped contraction" (see
+``_power_kernel``) runs the same MXU work ~1.3-1.7x faster by producing
+the beam tensor directly in the output orientation; corrections prep is
+one layout-exact flat matmul; the signal relayout happens on-chip.
 
 The exact XLA formulation in :mod:`.beamform` is the ground truth; this
 kernel must (and is tested to) match it.
@@ -201,8 +202,9 @@ def _power_kernel(w_ref, s_ref, corr_ref, out_ref, sdel_ref, sstage_ref,
 
 
 def _power_kernel_tchunk(w_ref, s_ref, corr_ref, out_ref, sdel_ref, acc_ref,
-                         *, Tc, n_tc, T, M, tau_min, Bc, N, cc, inv_n,
-                         inv_len, precision, three_pass, tile_d, swap):
+                         sstage_ref, *, Tc, n_tc, T, M, tau_min, Bc, N, cc,
+                         inv_n, inv_len, precision, three_pass, tile_d,
+                         swap):
     """Chunked-T variant for shapes whose full delay-line scratch exceeds
     VMEM (e.g. the reference config: T=49 taps x 256 mics).
 
@@ -224,15 +226,30 @@ def _power_kernel_tchunk(w_ref, s_ref, corr_ref, out_ref, sdel_ref, acc_ref,
     tc_i = pl.program_id(1)
     d_i = pl.program_id(2)
 
+    @pl.when((d_i == 0) & (tc_i == 0))
+    def _stage_signals():
+        # natural frame order -> delay-line column order, on-chip (the
+        # XLA host transpose this replaces ran at ~14 GB/s)
+        for b in range(Bc):
+            sstage_ref[0, :, pl.ds(b * N, N)] = s_ref[b, 0]
+
     @pl.when(d_i == 0)
     def _build_chunk_delay_lines():
-        # Mosaic's dynamic rotate is 32-bit only, so the signal chunk stays
-        # f32 in VMEM; the (bf16) planes are derived after the roll.
-        x3 = s_ref[0]
+        # Mosaic's dynamic rotate is 32-bit only, so the staged chunk is
+        # f32; the (bf16) planes are derived after the roll.  The roll is
+        # cyclic on the FLAT (M, Bc*N) lanes — samples that wrap across a
+        # frame boundary land at within-frame positions outside the valid
+        # shift range and are masked to zero (pos = lane % N).
+        x2 = sstage_ref[0]
+        pos = jax.lax.rem(
+            jax.lax.broadcasted_iota(jnp.int32, (M, Bc * N), 1),
+            jnp.int32(N))
         for j in range(Tc):
             # taps beyond T carry zero weights in the padded W
-            rolled = _shift3_dyn(x3, tau_min, tc_i, Tc,
-                                 j).reshape(M, Bc * N)
+            tau = tau_min + tc_i * Tc + j
+            rolled = pltpu.roll(x2, tau, 1)
+            keep = (pos >= tau) & (pos < N + tau)
+            rolled = jnp.where(keep, rolled, jnp.zeros_like(rolled))
             if three_pass:
                 hi, lo = _split_bf16_mosaic(rolled)
                 sdel_ref[0, pl.ds(j * M, M), :] = hi
@@ -388,21 +405,6 @@ def _power_kernel_window(bases_ref, w_ref, s_ref, corr_ref, out_ref,
     head = acc[:, :cc, :]
     p_delta = jnp.sum(corr * corr - 2.0 * head * corr, axis=1)
     out_ref[:, :] = (p_full + p_delta) * (inv_n * inv_n * inv_len)
-
-
-def _shift3_dyn(x3, tau_min, tc_i, Tc, j):
-    """Zero-fill shift by the *traced* amount ``tau_min + tc_i*Tc + j``
-    along the last axis of (M, Bc, N) — implemented as a roll + iota mask
-    (Mosaic handles dynamic rolls; dynamic-length concats it does not)."""
-    M, Bc, N = x3.shape
-    tau = tau_min + tc_i * Tc + j
-    rolled = pltpu.roll(x3.reshape(M * Bc, N), tau, 1)
-    idx = jax.lax.broadcasted_iota(jnp.int32, (M * Bc, N), 1)
-    # branch-free zero mask valid for either sign of tau: for tau >= 0 the
-    # second term is always true; for tau < 0 the first is
-    keep = (idx >= tau) & (idx < N + tau)
-    return jnp.where(keep, rolled, jnp.zeros_like(rolled)).reshape(
-        M, Bc, N)
 
 
 class _Meta:
@@ -649,10 +651,11 @@ def _fused_forward_tchunk(signals, W3, Wc, adaptive, meta):
         Wp = wf.astype(m.plane_dtype)[None]
 
     sf = signals[:, adaptive, :]
-    # signal chunks stay f32 (dynamic rotate is 32-bit only on Mosaic);
-    # the kernel derives the plane dtype(s) after the roll
+    # signal chunks stay f32 (dynamic rotate is 32-bit only on Mosaic) in
+    # natural frame order; the kernel stages the delay-line column layout
+    # and derives the plane dtype(s) after the roll
     s = sf.astype(jnp.float32)[:, None]
-    s_chunks = s.reshape(BP // Bc, Bc, 1, M, N).transpose(0, 2, 3, 1, 4)
+    s_chunks = s.reshape(BP // Bc, Bc, 1, M, N)
 
     corr = _prep_corr(sf, Wc, m, BP, Bc, D, M)
 
@@ -677,7 +680,7 @@ def _fused_forward_tchunk(signals, W3, Wc, adaptive, meta):
             pl.BlockSpec((P, m.tile_d, Tc * M),
                          lambda b, tc, d: (0, d, tc),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, M, Bc, N),
+            pl.BlockSpec((None, Bc, 1, M, N),
                          lambda b, tc, d: (b, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             corr_spec,
@@ -690,6 +693,7 @@ def _fused_forward_tchunk(signals, W3, Wc, adaptive, meta):
             pltpu.VMEM((P, Tc * M, Bc * N), m.plane_dtype),
             pltpu.VMEM((Bc * N, m.DP) if m.swap else (m.DP, Bc * N),
                        jnp.float32),
+            pltpu.VMEM((1, M, Bc * N), jnp.float32),
         ],
         interpret=m.interpret,
         compiler_params=pltpu.CompilerParams(
@@ -807,7 +811,7 @@ class FusedBeamformer:
                 for cb in (16, 8, 4, 2, 1):
                     for tc_len in (8, 4, 2):
                         est = (2 * P * tile_d * tc_len * M * isz
-                               + M * cb * N * 4      # f32 signal chunk
+                               + 2 * M * cb * N * 4  # f32 signals + stage
                                + P * tc_len * M * cb * N * isz
                                + self.DP * cb * N * 4
                                + 2 * tile_d * cb * self.cc * 4)
