@@ -273,6 +273,38 @@ def test_precision_update_matches_inverse(tiny_cfg, rng):
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-4)
 
 
+def test_precision_block_matches_sequential(tiny_cfg, rng):
+    """The rank-B Woodbury block update equals B sequential per-frame
+    Sherman-Morrison updates (same math, one pass over the state), on
+    both the first-ever batch (covariance replacement quirk) and a warm
+    state."""
+    cfg = tiny_cfg
+    t = freq.make_freq_tables(cfg, 2000.0, 20000.0)
+    frames = np.stack([synth_frame(cfg, rng) for _ in range(6)])
+
+    seq = freq.init_precision(t, load=1e-2)
+    for fr in frames[:3]:
+        seq = freq.update_precision(seq, fr, t, alpha=0.9)
+    blk = freq.update_precision_block(
+        freq.init_precision(t, load=1e-2), frames[:3], t, alpha=0.9)
+    for a, b in ((seq.P_re, blk.P_re), (seq.P_im, blk.P_im),
+                 (seq.cov.R_re, blk.cov.R_re),
+                 (seq.cov.R_im, blk.cov.R_im)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    assert int(blk.cov.count) == 3
+
+    # warm continuation
+    for fr in frames[3:]:
+        seq = freq.update_precision(seq, fr, t, alpha=0.9)
+    blk = freq.update_precision_block(blk, frames[3:], t, alpha=0.9)
+    np.testing.assert_allclose(np.asarray(seq.P_re), np.asarray(blk.P_re),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(seq.cov.R_re),
+                               np.asarray(blk.cov.R_re),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_precision_refresh_bounds_drift(tiny_cfg, rng):
     """refresh_precision re-factorizes P from the co-tracked covariance."""
     cfg = tiny_cfg
