@@ -88,3 +88,49 @@ def test_batched_pipeline_beamforms_every_frame(backend):
     rep = p.report()
     assert rep["heatmap_batched"]["dropped"] == 0
     assert rep["heatmap_batched"]["latency_p50_ms"] > 0
+
+
+def test_mvdr_power_fn_batch_aware():
+    """The demo's MVDR power_fn handles both single frames (live loop) and
+    batches (full-rate stage): batched calls do ONE rank-B Woodbury update
+    and return the post-block map for every frame of the block."""
+    import argparse
+
+    from zybo_rt_sampler_image_detection_tpu.apps.demo import _make_pipeline
+
+    args = argparse.Namespace(algorithm="mvdr", replay=True, backend="python",
+                              port=21939, preset="default", headless=True,
+                              frames=0)
+    # tiny preset via monkeyless config override: build pipeline on tiny cfg
+    import zybo_rt_sampler_image_detection_tpu.apps.demo as demo_mod
+
+    class _TinyShim:
+        reference = staticmethod(zrt.Config.tiny)
+        fft_reference = staticmethod(zrt.Config.tiny)
+
+        def __call__(self):
+            return zrt.Config.tiny()
+
+    saved = demo_mod.Config
+    try:
+        demo_mod.Config = _TinyShim()
+        p = _make_pipeline(args)
+    finally:
+        demo_mod.Config = saved
+    cfg = p.cfg
+    rng = np.random.default_rng(3)
+    single = (rng.standard_normal(
+        (cfg.n_microphones, cfg.n_samples)) * 0.1).astype(np.float32)
+    m1 = np.asarray(p._power_fn(jnp_asarray(single)))
+    assert m1.shape == (cfg.max_res_x, cfg.max_res_y)
+    batch = np.stack([single * (1 + 0.1 * i) for i in range(4)])
+    mb = np.asarray(p._power_fn(jnp_asarray(batch)))
+    assert mb.shape == (4, cfg.max_res_x, cfg.max_res_y)
+    # every frame of the block carries the (same) post-block map
+    for i in range(1, 4):
+        np.testing.assert_array_equal(mb[0], mb[i])
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+    return jnp.asarray(x)

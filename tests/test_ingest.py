@@ -98,7 +98,7 @@ def test_garbage_datagram_fuzz(backend):
     engine or corrupt subsequent frame assembly."""
     import socket
 
-    cfg = _loopback_cfg(21930 if backend == "python" else 21931)
+    cfg = _loopback_cfg(21935 if backend == "python" else 21936)
     rng = np.random.default_rng(5)
     frames = [(rng.standard_normal((cfg.n_microphones, cfg.n_samples)) * 0.1
                ).astype(np.float32) for _ in range(4)]
@@ -122,8 +122,10 @@ def test_garbage_datagram_fuzz(backend):
             time.sleep(0.002)
         s.close()
 
-    # valid header must arrive first so connect() handshakes cleanly
-    streamer.stream_in_background(cfg, frames, n_arrays=1, delay=0.2,
+    # valid header must arrive first so connect() handshakes cleanly;
+    # cycle the 4 patterns for long enough that the latest-frame reader
+    # can observe >=3 of them while the fuzz runs
+    streamer.stream_in_background(cfg, frames * 20, n_arrays=1, delay=0.2,
                                   exact_reference=False,
                                   rate=2 * cfg.sample_rate)
     n_arrays = r.connect(timeout=5.0)
@@ -140,6 +142,11 @@ def test_garbage_datagram_fuzz(backend):
         errs = [np.abs(got - f).max() for f in frames]
         if min(errs) < 2.0 / cfg.norm_factor:
             ok += 1
+    # the valid stream can outrun the fuzz thread; stay connected until
+    # at least one malformed packet has been observed and rejected
+    deadline = time.time() + 6.0
+    while time.time() < deadline and r.native_stats.bad_protocol == 0:
+        time.sleep(0.05)
     stats = r.native_stats
     r.disconnect()
     t.join(timeout=5.0)

@@ -57,19 +57,30 @@ def _make_pipeline(args, audio_sink="null", audio_path=None,
         power_fn = lambda f: freq.fft_steered_power(f, tables)
         algorithm = "lerp"          # miso still needs time-domain tables
     elif algorithm == "mvdr":
-        # streaming-inverse (RLS) MVDR: per-frame Sherman-Morrison update +
-        # matmul-only Capon map (>190 fps at the reference shape), with an
-        # exact Cholesky refresh every 256 frames to bound f32 drift
+        # streaming-inverse (RLS) MVDR: exact rank-B Woodbury update (one
+        # pass over the (F, M, M) state per call — B=1 per-frame in the
+        # live loop, B=batch in the full-rate stage) + matmul-only Capon
+        # map, with an exact Cholesky refresh every >=256 frames to bound
+        # f32 drift.  Batched calls return the post-block map for every
+        # frame of the block (the newest adaptive map — display
+        # semantics, same as the batched sink's newest-frame publish).
+        import jax.numpy as jnp
+
         from ..ops import freq
         tables = freq.make_freq_tables(cfg, 100.0)
-        state = {"p": freq.init_precision(tables), "n": 0}
+        state = {"p": freq.init_precision(tables), "n": 0, "r": 0}
 
         def power_fn(f, _t=tables, _s=state):
-            _s["p"] = freq.update_precision(_s["p"], f, _t)
-            _s["n"] += 1
-            if _s["n"] % 256 == 0:
+            frames = f if f.ndim == 3 else f[None]
+            _s["p"] = freq.update_precision_block(_s["p"], frames, _t)
+            _s["n"] += frames.shape[0]
+            if _s["n"] - _s["r"] >= 256:
                 _s["p"] = freq.refresh_precision(_s["p"], _t)
-            return freq.mvdr_power_precision(_s["p"], _t)
+                _s["r"] = _s["n"]
+            m = freq.mvdr_power_precision(_s["p"], _t)
+            if f.ndim == 3:
+                return jnp.broadcast_to(m, (frames.shape[0],) + m.shape)
+            return m
 
         algorithm = "lerp"
     return Pipeline(cfg, algorithm=algorithm, replay_mode=args.replay,

@@ -174,6 +174,20 @@ class BatchedHeatmapProducer(Stage):
                 return beamform.steered_power(frames, t)
 
             power_fn = lambda frames: _power(frames, tables)  # noqa: E731
+        elif channels and channels < receiver.cfg.n_microphones:
+            # custom power_fn (fft/mvdr backends) with channel-sliced
+            # transfers: pad the tail mic rows back before calling it —
+            # without this the freq-domain channel gather would silently
+            # clamp out-of-range indices to the last sliced row
+            base_fn = power_fn
+            n_full = receiver.cfg.n_microphones
+
+            def power_fn(frames, _b=base_fn, _n=n_full):
+                pad = _n - frames.shape[1]
+                if pad > 0:
+                    frames = jax.numpy.pad(frames,
+                                           ((0, 0), (0, pad), (0, 0)))
+                return _b(frames)
         self.power_fn = power_fn
 
     def _default_sink(self, powers: np.ndarray, first_seq: int):
