@@ -170,6 +170,48 @@ def test_protocol_mismatch_rejected():
         r.connect(timeout=5.0)
 
 
+def test_reordered_packets_assemble_correctly():
+    """UDP reordering within a frame window must not corrupt assembly:
+    the counter-driven slot write (receiver.h:56 counter, unused by the
+    reference) places each packet by ``counter % n_samples`` regardless of
+    arrival order."""
+    cfg = _loopback_cfg(21938)
+    rng = np.random.default_rng(9)
+    frame = (rng.standard_normal((cfg.n_microphones, cfg.n_samples)) * 0.1
+             ).astype(np.float32)
+    pkts = list(protocol.frame_to_packets(cfg, frame, n_arrays=1,
+                                          exact_reference=False))
+    # shuffle within the frame, then send a second, in-order copy of the
+    # frame (counters continue) so the ring publishes both
+    order = rng.permutation(len(pkts))
+    seq = [pkts[i] for i in order]
+    seq += [protocol.pack_packet(
+        cfg, protocol.unpack_stream(cfg, p), c + cfg.n_samples, 1)
+        for c, p in enumerate(pkts)]
+
+    r = receiver.Receiver(cfg, replay_mode=True, backend="python",
+                          exact_reference=False)
+
+    def send():
+        time.sleep(0.2)
+        s = streamer.Streamer(cfg, n_arrays=1)
+        s.send_header()
+        for p in seq:
+            s._sock.sendto(p, (s.ip, s.port))
+            time.sleep(0.0005)
+        s.close()
+
+    threading.Thread(target=send, daemon=True).start()
+    r.connect(timeout=5.0)
+    deadline = time.time() + 5.0
+    while r.stats.frames < 2 and time.time() < deadline:
+        time.sleep(0.05)
+    got, _ = r.read_frame(fresh=False, timeout=2.0)
+    r.disconnect()
+    assert r.stats.frames >= 2
+    np.testing.assert_allclose(got, frame, atol=2.0 / cfg.norm_factor)
+
+
 def test_gap_detection():
     cfg = _loopback_cfg(21903)
     rng = np.random.default_rng(3)

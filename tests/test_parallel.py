@@ -83,6 +83,16 @@ def test_sharded_mvdr_matches_single(tiny_cfg, rng):
     got = np.asarray(freq.mvdr_power_precision(sp, tp, "high", w))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-10)
 
+    # the rank-B Woodbury block update shards the same way (all per-bin
+    # ops + a per-bin (B, B) solve)
+    st_b = freq.init_precision(t)
+    st_b = freq.update_precision_block(st_b, frames, t)
+    ref_b = np.asarray(freq.mvdr_power_precision(st_b, t))
+    sp_b = pmesh.shard_precision_state(freq.init_precision(tp), m)
+    sp_b = freq.update_precision_block(sp_b, frames, tp)
+    got_b = np.asarray(freq.mvdr_power_precision(sp_b, tp, "high", w))
+    np.testing.assert_allclose(got_b, ref_b, rtol=1e-5, atol=1e-10)
+
 
 def test_sharded_matches_single_hybrid(tiny_cfg, rng):
     """Model-sharding with the hybrid algorithm exercises the 4-D
