@@ -74,7 +74,10 @@ def _make_pipeline(args, audio_sink="null", audio_path=None,
             frames = f if f.ndim == 3 else f[None]
             _s["p"] = freq.update_precision_block(_s["p"], frames, _t)
             _s["n"] += frames.shape[0]
-            if _s["n"] - _s["r"] >= 256:
+            # f32 drift scales with the number of sequential state
+            # updates, so batched (block) callers need refreshing ~B x
+            # less often — and at full rate a refresh is a real stall
+            if _s["n"] - _s["r"] >= 256 * max(1, frames.shape[0] // 8):
                 _s["p"] = freq.refresh_precision(_s["p"], _t)
                 _s["r"] = _s["n"]
             m = freq.mvdr_power_precision(_s["p"], _t)
@@ -82,6 +85,15 @@ def _make_pipeline(args, audio_sink="null", audio_path=None,
                 return jnp.broadcast_to(m, (frames.shape[0],) + m.shape)
             return m
 
+        def _reset(_t=tables, _s=state):
+            # drop warmup pollution (a zero block scales P by alpha^-B)
+            # and compile the periodic-refresh program NOW — a mid-run
+            # compile stalls the full-rate stage for seconds
+            _s["p"] = freq.init_precision(_t)
+            freq.refresh_precision(_s["p"], _t).P_re.block_until_ready()
+            _s["n"] = _s["r"] = 0
+
+        power_fn.reset = _reset
         algorithm = "lerp"
     return Pipeline(cfg, algorithm=algorithm, replay_mode=args.replay,
                     backend=args.backend, audio_sink=audio_sink,
@@ -239,6 +251,8 @@ def cmd_fullrate(args):
                                    channels=n_ch)
     t0 = time.time()
     stage.warmup()                          # compile before packets flow
+    if getattr(p._power_fn, "reset", None):
+        p._power_fn.reset()                 # stateful (MVDR) backends
     print(f"  device program ready in {time.time()-t0:.1f}s; "
           "starting native line-rate emulator")
     t = np.arange(cfg.n_samples * 64) / cfg.sample_rate
