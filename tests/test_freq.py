@@ -304,6 +304,22 @@ def test_precision_block_matches_sequential(tiny_cfg, rng):
                                np.asarray(blk.cov.R_re),
                                rtol=1e-4, atol=1e-5)
 
+    # a single BATCHED update_precision call must also equal the
+    # per-frame loop — including the covariance co-estimate (it used to
+    # take a batch-mean EMA step, so refresh would snap P onto a
+    # different estimate for B > 1)
+    one = freq.update_precision(
+        freq.init_precision(t, load=1e-2), frames, t, alpha=0.9)
+    seq2 = freq.init_precision(t, load=1e-2)
+    for fr in frames:
+        seq2 = freq.update_precision(seq2, fr, t, alpha=0.9)
+    np.testing.assert_allclose(np.asarray(one.P_re), np.asarray(seq2.P_re),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(one.cov.R_re),
+                               np.asarray(seq2.cov.R_re),
+                               rtol=1e-4, atol=1e-5)
+    assert int(one.cov.count) == int(seq2.cov.count) == len(frames)
+
 
 def test_precision_refresh_bounds_drift(tiny_cfg, rng):
     """refresh_precision re-factorizes P from the co-tracked covariance."""

@@ -137,6 +137,12 @@ class BatchedHeatmapProducer(Stage):
                  metrics: PipelineMetrics, batch: int = 16,
                  power_fn=None, sink=None, channels: int = 0):
         super().__init__("heatmap_batched", metrics)
+        if batch > receiver.ring_frames:
+            # fail fast: read_batch would raise inside the stage thread,
+            # killing it silently while the pipeline runs on heatmap-less
+            raise ValueError(
+                f"batch ({batch}) exceeds the receiver ring capacity "
+                f"({receiver.ring_frames}); raise Pipeline(ring_frames=)")
         self.receiver = receiver
         self.tables = tables
         self.q_power = q_power

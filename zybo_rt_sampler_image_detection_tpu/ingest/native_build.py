@@ -79,7 +79,9 @@ class NativeIngest:
                    timeout: Optional[float]):
         cfg = self._cfg
         out = np.empty((cfg.n_microphones, cfg.n_samples), np.float32)
-        ms = int((timeout or 5.0) * 1000)
+        # match the python backend: None blocks (effectively) forever,
+        # 0 is a non-blocking poll
+        ms = int((86400.0 if timeout is None else timeout) * 1000)
         seq = self._lib.zrt_ingest_read(
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             int(fresh), last_seq, ms)
@@ -97,7 +99,9 @@ class NativeIngest:
             else cfg.n_microphones
         out = np.empty((k, n_ch, cfg.n_samples), np.float32)
         skipped = ctypes.c_longlong(0)
-        ms = int((timeout or 5.0) * 1000)
+        # match the python backend: None blocks (effectively) forever,
+        # 0 is a non-blocking poll
+        ms = int((86400.0 if timeout is None else timeout) * 1000)
         first = self._lib.zrt_ingest_read_batch(
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             int(k), int(next_seq), ms, ctypes.byref(skipped), n_ch)

@@ -107,10 +107,10 @@ class FrameRing:
                 return None, next_seq, 0
             first = max(next_seq, self._seq - self._cap + 1)
             idx = np.arange(first, first + k) % self._cap
-            src = self._buf[idx]
+            src = self._buf[idx]            # fancy index = fresh copy
             if 0 < channels < src.shape[1]:
-                src = src[:, :channels]
-            return src.copy(), first, first - next_seq
+                src = np.ascontiguousarray(src[:, :channels])
+            return src, first, first - next_seq
 
 
 # Backwards-compatible alias (the round-1 name for the latest-frame case).

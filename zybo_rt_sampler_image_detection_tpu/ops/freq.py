@@ -338,6 +338,34 @@ def init_precision(t: FreqTables, load: float = 1e-3) -> PrecisionState:
                           cov=init_covariance(t), load=load)
 
 
+def _cov_rank_update(cov: CovarianceState, sr: jax.Array, si: jax.Array,
+                     alpha: float) -> CovarianceState:
+    """Covariance after B sequential per-frame EMA steps, as ONE exact
+    rank-B update: ``R_B = a^B R_0 + sum_i (1-a) a^{B-1-i} s_i s_i^H``
+    (the sequential recursion's first-ever-frame REPLACEMENT gives the
+    first column weight ``a^{B-1}`` and drops the prior).  Shared by
+    :func:`update_precision` and :func:`update_precision_block` so the
+    precision and its covariance co-estimate always track the SAME
+    per-frame-discounted history, whatever the batch size."""
+    B = sr.shape[0]
+    aB = alpha ** B
+    w = jnp.sqrt((1.0 - alpha)
+                 * alpha ** (B - 1.0 - jnp.arange(B, dtype=jnp.float32)))
+    is_first = cov.count == 0
+    w_first = w.at[0].set(jnp.sqrt(jnp.float32(alpha) ** (B - 1)))
+    w0 = jnp.where(is_first, w_first, w)
+    Cr = jnp.einsum("b,bfm->fmb", w0, sr, precision=_HI)
+    Ci = jnp.einsum("b,bfm->fmb", w0, si, precision=_HI)
+    keep = jnp.where(is_first, 0.0, aB)
+    R_re = (keep * cov.R_re
+            + jnp.einsum("fmb,fnb->fmn", Cr, Cr, precision=_HI)
+            + jnp.einsum("fmb,fnb->fmn", Ci, Ci, precision=_HI))
+    R_im = (keep * cov.R_im
+            + jnp.einsum("fmb,fnb->fmn", Ci, Cr, precision=_HI)
+            - jnp.einsum("fmb,fnb->fmn", Cr, Ci, precision=_HI))
+    return CovarianceState(R_re=R_re, R_im=R_im, count=cov.count + B)
+
+
 @partial(jax.jit, static_argnames=("alpha",))
 def update_precision(state: PrecisionState, signals: jax.Array,
                      t: FreqTables, alpha: float = 0.9) -> PrecisionState:
@@ -376,7 +404,10 @@ def update_precision(state: PrecisionState, signals: jax.Array,
 
     (P_re, P_im), _ = jax.lax.scan(
         step, (state.P_re, state.P_im), (sr_all, si_all))
-    cov = update_covariance(state.cov, signals, t, alpha=alpha)
+    # co-tracked covariance uses the SAME per-frame discounting as the
+    # precision scan (a batch-mean EMA step here would make the periodic
+    # refresh snap P onto a different estimate for B > 1)
+    cov = _cov_rank_update(state.cov, sr_all, si_all, alpha)
     return PrecisionState(P_re=P_re, P_im=P_im, cov=cov, load=state.load)
 
 
@@ -435,24 +466,7 @@ def update_precision_block(state: PrecisionState, signals: jax.Array,
     P_re = (state.P_re - VXr) / aB
     P_im = (state.P_im - VXi) / aB
 
-    # covariance co-estimate with the same rank-B form; the sequential
-    # recursion REPLACES R with the first-ever frame's outer product, so
-    # on that batch the first column carries weight a^{B-1} (not
-    # (1-a) a^{B-1}) and the prior R is dropped.
-    cov = state.cov
-    is_first = cov.count == 0
-    w_first = w.at[0].set(jnp.sqrt(jnp.float32(alpha) ** (B - 1)))
-    w0 = jnp.where(is_first, w_first, w)
-    Cr = jnp.einsum("b,bfm->fmb", w0, sr, precision=_HI)
-    Ci = jnp.einsum("b,bfm->fmb", w0, si, precision=_HI)
-    keep = jnp.where(is_first, 0.0, aB)
-    R_re = (keep * cov.R_re
-            + jnp.einsum("fmb,fnb->fmn", Cr, Cr, precision=_HI)
-            + jnp.einsum("fmb,fnb->fmn", Ci, Ci, precision=_HI))
-    R_im = (keep * cov.R_im
-            + jnp.einsum("fmb,fnb->fmn", Ci, Cr, precision=_HI)
-            - jnp.einsum("fmb,fnb->fmn", Cr, Ci, precision=_HI))
-    cov = CovarianceState(R_re=R_re, R_im=R_im, count=cov.count + B)
+    cov = _cov_rank_update(state.cov, sr, si, alpha)
     return PrecisionState(P_re=P_re, P_im=P_im, cov=cov, load=state.load)
 
 

@@ -784,8 +784,8 @@ class FusedBeamformer:
         corr_fits = t.Wc is None or t.Wc.shape[2] <= self.cc
         self.vmem_bytes = vmem
         budget = vmem_budget
-        if (corr_fits and vmem < budget and not force_tchunk
-                and window is not True):
+        full_fits = corr_fits and vmem < budget and not force_tchunk
+        if full_fits and window is not True:
             self.variant = "full"
         elif (corr_fits and not force_tchunk and window is True
               and self._plan_window(t, interpret, vmem_budget)):
@@ -796,6 +796,9 @@ class FusedBeamformer:
             # the Mosaic 8-alignment rule (Tw 13 -> 24) plus copy
             # bandwidth ~ MXU time erodes the win to ~1.4x anyway.
             pass          # _plan_window installed variant="window" + meta
+        elif full_fits:
+            # window requested but no viable plan: keep the fast full path
+            self.variant = "full"
         else:
             # Chunked-T variant (the reference shape: T=49 x 256 mics blows
             # the full delay-line scratch).  Pick the largest (chunk_b,

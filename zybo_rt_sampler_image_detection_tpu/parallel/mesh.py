@@ -129,6 +129,16 @@ def sharded_fused_power(mesh: Mesh, t: SteeringTables, tile_d: int = 256,
     selector = pk.FusedBeamformer(
         t_loc, tile_d=min(tile_d, D_loc), chunk_b=chunk_b,
         interpret=interpret)
+    if not selector.fits_vmem:
+        # same loud-fallback contract as the single-chip path: launching
+        # the full-VMEM kernel the selector just rejected would fail in
+        # Mosaic; the XLA SPMD formulation handles any shape
+        import logging
+        logging.getLogger(__name__).warning(
+            "sharded_fused_power: per-shard working set (%.1f MB) exceeds "
+            "VMEM even chunked; using the XLA SPMD path",
+            selector.vmem_bytes / 2**20)
+        return sharded_steered_power(mesh, t)
     meta = selector.meta
     fwd = {"tchunk": pk._fused_forward_tchunk}.get(
         selector.variant, pk._fused_forward)
