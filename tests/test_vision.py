@@ -169,18 +169,19 @@ def test_average_precision_metric():
 
 def test_detector_ap_gate():
     """Train tiny-YOLO on the synthetic one-class task and gate AP@0.5 on
-    a HELD-OUT set (measured ~0.76 after 150 steps; gate at 0.5 leaves
-    seed margin).  The recorded number lives in BENCHMARKS.md."""
+    a HELD-OUT set (measured 0.916 after 600 steps / 17 s CPU; gate at
+    0.75 leaves seed margin).  The recorded number lives in
+    BENCHMARKS.md."""
     from zybo_rt_sampler_image_detection_tpu.models import data
     from zybo_rt_sampler_image_detection_tpu.models import eval as ev
 
     cfg = yolo.YoloConfig(input_size=64, width_mult=0.25)
     tr = train.Trainer(cfg, learning_rate=3e-3)
-    tr.fit(data.synthetic_dataset(0, n_batches=150, batch_size=8, size=64),
+    tr.fit(data.synthetic_dataset(0, n_batches=600, batch_size=8, size=64),
            log_every=0)
     det = detect.YoloDetector(cfg=cfg)
     det.variables = tr.state.variables
     rng = np.random.default_rng(999)
-    imgs, boxes = data.synthetic_detection_batch(rng, 24, size=64)
+    imgs, boxes = data.synthetic_detection_batch(rng, 48, size=64)
     ap = ev.evaluate_detector(det, imgs, boxes)
-    assert ap >= 0.5, f"AP@0.5 regressed: {ap:.3f}"
+    assert ap >= 0.75, f"AP@0.5 regressed: {ap:.3f}"
