@@ -136,26 +136,21 @@ def main() -> None:
     ladder["mvdr_rls_per_frame_reference_shape"] = \
         (K * iters) / (time.perf_counter() - t0)
 
-    # block mode: one exact rank-8 Woodbury update per 8 frames (the
-    # sequential recursion is HBM-bound on the (F, M, M) state), maps
-    # still per frame
-    @_partial(jax.jit, static_argnames=())
-    def mvdr_block(st, frames, t):
-        st2 = freq.update_precision_block(st, frames, t)
-        def step(s, fr):
-            return s, freq.mvdr_power_precision(s, t)
-        _, maps = jax.lax.scan(step, st2, frames)
-        return st2, maps
-
+    # subspace-recursive scan: EXACT per-frame Capon maps + one rank-B
+    # Woodbury state update per block (the sequential recursion is
+    # HBM-bound on the (F, M, M) state and re-evaluates the full
+    # quadratic form per frame)
+    K2 = 64
+    fr_blk = jax.device_put(np.asarray(frames_ref[:K2]))
     st = freq.init_precision(ft)
-    st, maps = mvdr_block(st, fr_small, ft)
+    maps, st = freq.mvdr_maps_scan(st, fr_blk, ft)
     np.asarray(maps.ravel()[0])
     t0 = time.perf_counter()
     for _ in range(iters):
-        st, maps = mvdr_block(st, fr_small, ft)
+        maps, st = freq.mvdr_maps_scan(st, fr_blk, ft)
     np.asarray(maps.ravel()[0])
-    ladder["mvdr_rls_block8_reference_shape"] = \
-        (K * iters) / (time.perf_counter() - t0)
+    ladder["mvdr_exact_per_frame_maps_reference_shape"] = \
+        (K2 * iters) / (time.perf_counter() - t0)
 
     value = ladder["high"]
     print(json.dumps({

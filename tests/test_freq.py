@@ -367,6 +367,26 @@ def test_precision_block_matches_sequential(tiny_cfg, rng):
     assert int(one.cov.count) == int(seq2.cov.count) == len(frames)
 
 
+def test_mvdr_maps_scan_matches_sequential(tiny_cfg, rng):
+    """The subspace-recursive per-frame Capon maps (one full quadratic
+    form + a B-step scan) must equal the sequential per-frame
+    update+map loop exactly, and return the same posterior state."""
+    cfg = tiny_cfg
+    t = freq.make_freq_tables(cfg, 2000.0, 20000.0)
+    frames = np.stack([synth_frame(cfg, rng) for _ in range(6)])
+    st = freq.init_precision(t, load=1e-2)
+    s = st
+    seq = []
+    for fr in frames:
+        s = freq.update_precision(s, fr, t, alpha=0.9)
+        seq.append(np.asarray(freq.mvdr_power_precision(s, t)))
+    maps, s2 = freq.mvdr_maps_scan(st, frames, t, alpha=0.9)
+    np.testing.assert_allclose(np.asarray(maps), np.stack(seq),
+                               rtol=1e-3, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s2.P_re), np.asarray(s.P_re),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_precision_refresh_bounds_drift(tiny_cfg, rng):
     """refresh_precision re-factorizes P from the co-tracked covariance."""
     cfg = tiny_cfg

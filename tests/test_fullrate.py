@@ -92,8 +92,9 @@ def test_batched_pipeline_beamforms_every_frame(backend):
 
 def test_mvdr_power_fn_batch_aware():
     """The demo's MVDR power_fn handles both single frames (live loop) and
-    batches (full-rate stage): batched calls do ONE rank-B Woodbury update
-    and return the post-block map for every frame of the block."""
+    batches (full-rate stage): batched calls run the subspace-recursive
+    scan — EXACT per-frame maps + one rank-B state update — and must
+    match the sequential per-frame loop."""
     import argparse
 
     from zybo_rt_sampler_image_detection_tpu.apps.demo import _make_pipeline
@@ -126,9 +127,12 @@ def test_mvdr_power_fn_batch_aware():
     batch = np.stack([single * (1 + 0.1 * i) for i in range(4)])
     mb = np.asarray(p._power_fn(jnp_asarray(batch)))
     assert mb.shape == (4, cfg.max_res_x, cfg.max_res_y)
-    # every frame of the block carries the (same) post-block map
-    for i in range(1, 4):
-        np.testing.assert_array_equal(mb[0], mb[i])
+    # per-frame EXACT maps: each frame's map reflects the state after
+    # absorbing that frame (equivalence to the sequential loop is gated
+    # in test_freq::test_mvdr_maps_scan_matches_sequential); here check
+    # the maps evolve across the block and stay finite/positive
+    assert np.isfinite(mb).all() and (mb > 0).all()
+    assert not np.array_equal(mb[0], mb[-1])
 
 
 def jnp_asarray(x):

@@ -57,33 +57,31 @@ def _make_pipeline(args, audio_sink="null", audio_path=None,
         power_fn = lambda f: freq.fft_steered_power(f, tables)
         algorithm = "lerp"          # miso still needs time-domain tables
     elif algorithm == "mvdr":
-        # streaming-inverse (RLS) MVDR: exact rank-B Woodbury update (one
-        # pass over the (F, M, M) state per call — B=1 per-frame in the
-        # live loop, B=batch in the full-rate stage) + matmul-only Capon
-        # map, with an exact Cholesky refresh every >=256 frames to bound
-        # f32 drift.  Batched calls return the post-block map for every
-        # frame of the block (the newest adaptive map — display
-        # semantics, same as the batched sink's newest-frame publish).
-        import jax.numpy as jnp
-
+        # streaming-inverse (RLS) MVDR.  Batched calls (the full-rate
+        # stage) use the subspace-recursive scan: EXACT per-frame Capon
+        # maps + one rank-B Woodbury state update per batch (2,187
+        # maps/s at the reference shape vs 215 for the sequential loop).
+        # Single-frame calls (the live loop) use the per-frame recursion.
+        # An exact Cholesky refresh bounds f32 drift; its interval scales
+        # with the batch size (block updates drift ~B x less per frame,
+        # and at full rate a refresh is a real stall).
         from ..ops import freq
         tables = freq.make_freq_tables(cfg, 100.0)
         state = {"p": freq.init_precision(tables), "n": 0, "r": 0}
 
         def power_fn(f, _t=tables, _s=state):
-            frames = f if f.ndim == 3 else f[None]
-            _s["p"] = freq.update_precision_block(_s["p"], frames, _t)
-            _s["n"] += frames.shape[0]
-            # f32 drift scales with the number of sequential state
-            # updates, so batched (block) callers need refreshing ~B x
-            # less often — and at full rate a refresh is a real stall
-            if _s["n"] - _s["r"] >= 256 * max(1, frames.shape[0] // 8):
+            if f.ndim == 3:
+                maps, _s["p"] = freq.mvdr_maps_scan(_s["p"], f, _t)
+                _s["n"] += f.shape[0]
+            else:
+                _s["p"] = freq.update_precision(_s["p"], f, _t)
+                _s["n"] += 1
+                maps = freq.mvdr_power_precision(_s["p"], _t)
+            if _s["n"] - _s["r"] >= 256 * max(
+                    1, (f.shape[0] if f.ndim == 3 else 1) // 8):
                 _s["p"] = freq.refresh_precision(_s["p"], _t)
                 _s["r"] = _s["n"]
-            m = freq.mvdr_power_precision(_s["p"], _t)
-            if f.ndim == 3:
-                return jnp.broadcast_to(m, (frames.shape[0],) + m.shape)
-            return m
+            return maps
 
         def _reset(_t=tables, _s=state):
             # drop warmup pollution (a zero block scales P by alpha^-B)
