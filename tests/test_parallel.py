@@ -93,6 +93,15 @@ def test_sharded_mvdr_matches_single(tiny_cfg, rng):
     got_b = np.asarray(freq.mvdr_power_precision(sp_b, tp, "high", w))
     np.testing.assert_allclose(got_b, ref_b, rtol=1e-5, atol=1e-10)
 
+    # the subspace-recursive per-frame map scan too (padded bins masked
+    # out of each frame's map by the bin weights)
+    maps_ref, _ = freq.mvdr_maps_scan(freq.init_precision(t), frames, t)
+    maps_sh, _ = freq.mvdr_maps_scan(
+        pmesh.shard_precision_state(freq.init_precision(tp), m), frames,
+        tp, bin_weights=w)
+    np.testing.assert_allclose(np.asarray(maps_sh), np.asarray(maps_ref),
+                               rtol=1e-4, atol=1e-9)
+
 
 def test_sharded_matches_single_hybrid(tiny_cfg, rng):
     """Model-sharding with the hybrid algorithm exercises the 4-D

@@ -473,7 +473,8 @@ def update_precision_block(state: PrecisionState, signals: jax.Array,
 @partial(jax.jit, static_argnames=("alpha", "grid_precision"))
 def mvdr_maps_scan(state: PrecisionState, signals: jax.Array,
                    t: FreqTables, alpha: float = 0.9,
-                   grid_precision: str = "high"):
+                   grid_precision: str = "high",
+                   bin_weights: Optional[jax.Array] = None):
     """EXACT per-frame Capon maps for a B-frame batch at ~the cost of one.
 
     The sequential path (``update_precision`` + ``mvdr_power_precision``
@@ -555,7 +556,10 @@ def mvdr_maps_scan(state: PrecisionState, signals: jax.Array,
                           - ci[:, :, None] * ri[:, None, :])) / alpha
         yi2 = (yi - k3 * (cr[:, :, None] * ri[:, None, :]
                           + ci[:, :, None] * rr[:, None, :])) / alpha
-        power = jnp.sum(1.0 / jnp.maximum(d, 1e-12), axis=0)  # (D,)
+        per_bin = 1.0 / jnp.maximum(d, 1e-12)
+        if bin_weights is not None:     # sharded path: mask padded bins
+            per_bin = per_bin * bin_weights[:, None]
+        power = jnp.sum(per_bin, axis=0)                      # (D,)
         return (d, Yr2, Yi2, yr2, yi2), power
 
     (_, _, _, _, _), maps = jax.lax.scan(
