@@ -720,8 +720,8 @@ class FusedBeamformer:
     ``chunk_b`` frames are processed per grid step with the signal block
     resident in VMEM.  Shapes whose full delay-line scratch exceeds VMEM
     (the reference config: T=49 x 256 mics) automatically switch to the
-    chunked-T variant (measured 3.4k heatmaps/s at the reference shape vs
-    2.7k for XLA-high — 18x the 190.7 fps line rate).  Only if even the
+    chunked-T variant (measured 3.7k heatmaps/s at the reference shape vs
+    2.8k for XLA-high — 19x the 190.7 fps line rate).  Only if even the
     chunked working set cannot fit does ``__call__`` fall back to the XLA
     path, with a logged warning (never silently).
 
