@@ -47,9 +47,10 @@ def main() -> None:
 
     ladder = {}
     # "highest": bit-level f32 (the exactness-gate mode); "high": 3-pass
-    # bf16 hi/lo emulation (~5e-6 rel on the power map — BETTER than XLA's
-    # native HIGH at ~2.4e-5, see test_three_pass_beats_xla_high); "bf16":
-    # single-pass bf16 (~2e-3).
+    # bf16 hi/lo emulation (abs err bound gated by
+    # test_fused_three_pass_mode; measured ~5e-6 rel on the power map vs
+    # XLA native HIGH's ~2.4e-5 — BENCHMARKS.md); "bf16": single-pass
+    # bf16 (~2e-3).
     rungs = (
         ("highest", dict(matmul_precision="highest")),
         ("high", dict(matmul_precision="high")),

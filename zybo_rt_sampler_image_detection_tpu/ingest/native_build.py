@@ -1,8 +1,9 @@
 """Build + ctypes binding for the native C++ ingest engine.
 
 Compiled on first use with g++ (no pybind11 in the image; plain C ABI via
-ctypes).  The shared object is cached next to the source and rebuilt when
-the source is newer.
+ctypes).  The shared object is cached under ``~/.cache/zrt_native``
+(override with ``ZRT_NATIVE_CACHE_DIR``) and rebuilt when the source
+changes — the build artifact never lives in the source tree.
 """
 
 from __future__ import annotations
@@ -17,20 +18,27 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "native", "ingest.cpp")
-_SO = os.path.join(_DIR, "native", "libzrtingest.so")
 _LOCK = threading.Lock()
 _CACHED = None
 
 
+def _so_path() -> str:
+    cdir = os.environ.get("ZRT_NATIVE_CACHE_DIR",
+                          os.path.expanduser("~/.cache/zrt_native"))
+    return os.path.join(cdir, "libzrtingest.so")
+
+
 def build(force: bool = False) -> str:
+    so = _so_path()
     with _LOCK:
-        if (not force and os.path.exists(_SO)
-                and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
-            return _SO
+        if (not force and os.path.exists(so)
+                and os.path.getmtime(so) >= os.path.getmtime(_SRC)):
+            return so
+        os.makedirs(os.path.dirname(so), exist_ok=True)
         cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-               _SRC, "-o", _SO]
+               _SRC, "-o", so]
         subprocess.run(cmd, check=True, capture_output=True)
-        return _SO
+        return so
 
 
 class NativeIngest:

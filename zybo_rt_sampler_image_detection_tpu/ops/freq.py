@@ -490,8 +490,8 @@ def mvdr_maps_scan(state: PrecisionState, signals: jax.Array,
     recursions on (F, D, B) / (F, B, B) projection tensors.  One full
     map evaluation (d_0) + two projection matmuls + a B-step scan of
     elementwise updates replaces B full evaluations: ~60x fewer FLOPs at
-    the reference shape for B=64, with bit-identical math (gated vs the
-    sequential loop in tests).
+    the reference shape for B=64, matching the sequential loop up to f32
+    reassociation (the recursion reorders ops; gated at 1e-3 in tests).
 
     Returns ``(maps (B, X, Y), new_state)`` — frame t's map reflects the
     state AFTER absorbing frames 0..t, exactly like the sequential loop;

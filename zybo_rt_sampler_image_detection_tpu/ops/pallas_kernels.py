@@ -73,6 +73,14 @@ def _split_bf16_mosaic(x: jax.Array):
     sign-magnitude float layout makes the carry propagate correctly into
     the exponent for either sign.  hi is then exactly bf16-representable
     and ``x - hi`` is exact in f32.
+
+    Contract: finite inputs only.  NaN/Inf are NOT handled (a NaN with
+    mantissa payload >= 0x8000 carries into the sign bit, e.g.
+    0x7FFFFFFF -> hi = -0.0); the kernel operands are steering weights
+    and normalized mic samples, which are finite by construction.  Tie
+    rounding is half-away-from-zero here vs :func:`_split_bf16`'s
+    round-to-nearest-even — at most one lo-plane ulp of divergence,
+    inside the 3-pass error budget gated by test_fused_three_pass_mode.
     """
     bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
     hi_bits = (bits + jnp.uint32(0x8000)) & jnp.uint32(0xFFFF0000)
@@ -559,8 +567,12 @@ def _fused_forward_window(signals, W3, Wc, adaptive, meta):
     BP = signals.shape[0]
 
     # compact per-tile weights: W[d, base[tile(d), m] + j, m] at column
-    # m*Tw + j (gather constant-folds: W3 and bases are jit constants);
-    # taps padded to T_pad with zero weights so clipped windows gather 0
+    # m*Tw + j.  Since the tables-as-arguments refactor W3 enters the jit
+    # as an argument, so this take_along_axis gather RE-RUNS every call —
+    # acceptable for the opt-in windowed variant (the gather is ~2x the
+    # compact table's size in traffic); the production variants don't pay
+    # it.  Taps padded to T_pad with zero weights so clipped windows
+    # gather 0.
     Wr = jnp.pad(W3.astype(jnp.float32),
                  ((0, m.DP - D), (0, T_pad - T), (0, 0))).reshape(
         ntiles, m.tile_d, T_pad, M)
