@@ -423,3 +423,74 @@ def test_mvdr_power_precision_localizes(tiny_cfg):
     assert np.all(np.isfinite(img))
     x, y = np.unravel_index(img.argmax(), img.shape)
     assert abs(x - tx) <= 1 and abs(y - ty) <= 1
+
+
+def test_mvdr_beam_precision_matches_covariance_beam(tiny_cfg, rng):
+    """The live adaptive-listening beam (weights straight from the
+    streaming inverse P) must agree with the offline covariance-based
+    mvdr_beam after an exact refresh (P == (R + load I)^-1 there)."""
+    from conftest import synth_frame
+
+    cfg = tiny_cfg
+    t = freq.make_freq_tables(cfg, 2000.0, 20000.0)
+    st = freq.init_precision(t, load=1e-2)
+    frames = np.stack([synth_frame(cfg, rng) for _ in range(5)])
+    st = freq.update_precision_block(st, frames, t, alpha=0.9)
+    st = freq.refresh_precision(st, t)
+
+    d = 3 * cfg.max_res_y + 2
+    test = np.stack([synth_frame(cfg, rng) for _ in range(3)])
+    got = np.asarray(freq.mvdr_beam_precision(st, t, test, d))
+    # ground truth: solve against the identically-loaded covariance the
+    # refresh used (trace-scaled loading, freq._loaded)
+    R_re, R_im = freq._loaded(st.cov, st.load)
+    x_re, x_im = freq._solve_hermitian(
+        R_re, R_im,
+        np.asarray(t.phase_re[:, :, d])[..., None],
+        -np.asarray(t.phase_im[:, :, d])[..., None])
+    a_re = np.asarray(t.phase_re[:, :, d])
+    a_im = -np.asarray(t.phase_im[:, :, d])
+    x_re, x_im = np.asarray(x_re)[..., 0], np.asarray(x_im)[..., 0]
+    denom = np.maximum((a_re * x_re + a_im * x_im).sum(1), 1e-12)[:, None]
+    want = np.asarray(freq._apply_beam_weights(
+        test, t, (x_re / denom).astype(np.float32),
+        (x_im / denom).astype(np.float32)))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
+
+
+def test_mvdr_listen_step_is_update_then_beam(tiny_cfg, rng):
+    """mvdr_listen_step == update_precision_block then
+    mvdr_beam_precision with the refreshed weights (one fused program)."""
+    from conftest import synth_frame
+
+    cfg = tiny_cfg
+    t = freq.make_freq_tables(cfg, 2000.0, 20000.0)
+    st = freq.init_precision(t)
+    frames = np.stack([synth_frame(cfg, rng) for _ in range(4)])
+    d = 2 * cfg.max_res_y + 1
+    beams, st2 = freq.mvdr_listen_step(st, frames, t, d, alpha=0.9)
+    want_state = freq.update_precision_block(st, frames, t, alpha=0.9)
+    want = freq.mvdr_beam_precision(want_state, t, frames, d)
+    np.testing.assert_allclose(np.asarray(beams), np.asarray(want),
+                               rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(st2.P_re),
+                               np.asarray(want_state.P_re),
+                               rtol=1e-5, atol=1e-8)
+    assert beams.shape == (4, cfg.n_samples)
+
+
+def test_mvdr_listen_step_recovers_steered_source(tiny_cfg):
+    """End-to-end adaptive listening: the fused step's beam output
+    correlates with the source a reference mic hears."""
+    cfg = tiny_cfg
+    tx, ty = 4, 3
+    t = freq.make_freq_tables(cfg, 0.0, None)
+    st = freq.init_precision(t)
+    frames = np.stack([_delayed_source_frame(cfg, tx, ty, seed=s)
+                       for s in range(3)])
+    d = tx * cfg.max_res_y + ty
+    beams, st = freq.mvdr_listen_step(st, frames, t, d)
+    active, _ = geometry.active_microphones(cfg)
+    for i in range(3):
+        c = np.corrcoef(np.asarray(beams[i]), frames[i][active[0]])[0, 1]
+        assert abs(c) > 0.6, f"frame {i}: corr {c:.3f}"

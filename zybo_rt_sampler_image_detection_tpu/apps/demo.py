@@ -154,11 +154,24 @@ def _viewer_loop(p: Pipeline, args):
 
 def cmd_miso(args):
     """Steered-listening demo (``main.pyx:824-864``): beam -> audio sink,
-    steerable from the CLI."""
+    steerable from the CLI.  ``--fullrate`` switches from the reference's
+    latest-frame sampling to the gapless batched stage (every frame
+    beamed, sample-count-exact output); ``--beam mvdr`` makes it
+    adaptive (streaming-MVDR distortionless weights)."""
     sink = args.audio or ("auto" if not args.headless else "wav")
-    p = _make_pipeline(args, audio_sink=sink, audio_path=args.out)
-    p.connect()
-    p.start_miso()
+    p = _make_pipeline(args, audio_sink=sink, audio_path=args.out,
+                       ring_frames=max(64, 4 * args.batch))
+    if args.fullrate or args.beam == "mvdr":
+        stage = p.make_miso_batched(batch=args.batch, beam=args.beam)
+        stage.warmup()
+        if getattr(stage.beam_fn, "reset", None):
+            stage.beam_fn.reset()
+        p.connect()
+        p.run_stage(stage)
+    else:
+        stage = None
+        p.connect()
+        p.start_miso()
     p.steer_cartesian_degree(args.azimuth, args.elevation)
     try:
         t0 = time.time()
@@ -167,6 +180,13 @@ def cmd_miso(args):
         print("metrics:", p.report())
     finally:
         p.stop()
+    if stage is not None:
+        line = p.cfg.sample_rate
+        elapsed = time.time() - t0
+        print(f"beamed {stage.processed} frames -> {stage.samples} samples "
+              f"({stage.samples / elapsed:.0f}/s vs line {line:.0f}/s); "
+              f"underrun frames = {stage.underrun_frames}")
+        print("GAPLESS" if stage.underrun_frames == 0 else "UNDERRUNS")
     if sink == "wav":
         print(f"beam audio written to {args.out}")
 
@@ -247,10 +267,21 @@ def cmd_fullrate(args):
           f"channels={n_ch}; running {args.seconds:.0f}s ...")
     stage = p.make_heatmap_batched(batch=args.batch, sink=sink,
                                    channels=n_ch)
+    audio_stage = None
+    if args.audio:
+        from ..utils import audio as audio_mod
+        a_sink = audio_mod.make_sink(args.audio, cfg.sample_rate,
+                                     args.audio_out)
+        audio_stage = p.make_miso_batched(batch=args.batch, beam=args.beam,
+                                          channels=n_ch, sink=a_sink)
     t0 = time.time()
     stage.warmup()                          # compile before packets flow
     if getattr(p._power_fn, "reset", None):
         p._power_fn.reset()                 # stateful (MVDR) backends
+    if audio_stage is not None:
+        audio_stage.warmup()
+        if getattr(audio_stage.beam_fn, "reset", None):
+            audio_stage.beam_fn.reset()
     print(f"  device program ready in {time.time()-t0:.1f}s; "
           "starting native line-rate emulator")
     t = np.arange(cfg.n_samples * 64) / cfg.sample_rate
@@ -261,19 +292,32 @@ def cmd_fullrate(args):
     try:
         p.connect()                        # first packet = header
         p.run_stage(stage)
+        if audio_stage is not None:
+            p.run_stage(audio_stage)
         t0 = time.time()
         while time.time() - t0 < args.seconds:
             time.sleep(1.0)
             rate = stage.processed / (time.time() - t0)
+            audio = ("" if audio_stage is None else
+                     f" audio_frames={audio_stage.processed} "
+                     f"underruns={audio_stage.underrun_frames}")
             print(f"  t={time.time()-t0:5.1f}s processed={stage.processed} "
                   f"({rate:.1f}/s) skipped={stage.skipped} "
-                  f"ingest_gaps={p.receiver.native_stats.gaps}")
+                  f"ingest_gaps={p.receiver.native_stats.gaps}{audio}")
     finally:
         sent = emu.stop()
         elapsed = time.time() - t0
         p.stop()
     rep = p.report()
     ok = stage.skipped == 0 and p.receiver.native_stats.gaps == 0
+    if audio_stage is not None:
+        ok = ok and audio_stage.underrun_frames == 0
+        print(f"\naudio: beamed {audio_stage.processed} frames -> "
+              f"{audio_stage.samples} samples "
+              f"({audio_stage.samples / elapsed:.0f}/s vs "
+              f"{cfg.sample_rate:.0f}/s), underrun frames = "
+              f"{audio_stage.underrun_frames} "
+              f"({'GAPLESS' if audio_stage.underrun_frames == 0 else 'UNDERRUNS'})")
     print(f"\nemulator sent {sent} packets "
           f"({sent / elapsed:.0f}/s vs line {cfg.sample_rate:.0f}/s)")
     print(f"processed {stage.processed} frames in {elapsed:.1f}s "
@@ -358,6 +402,15 @@ def main(argv=None):
                    help="audio sink (default: auto = live playback when "
                         "interactive, wav when --headless)")
     p.add_argument("--out", default="miso.wav")
+    p.add_argument("--fullrate", action="store_true",
+                   help="gapless batched listening: every frame beamed, "
+                        "sample-count-exact stream (vs the reference's "
+                        "latest-frame sampling)")
+    p.add_argument("--beam", default="time", choices=["time", "mvdr"],
+                   help="beam backend: delay-and-sum or adaptive MVDR "
+                        "(implies --fullrate)")
+    p.add_argument("--batch", type=int, default=16,
+                   help="frames per device launch in --fullrate mode")
     p.set_defaults(fn=cmd_miso)
 
     p = sub.add_parser("record", help="raw .npy capture")
@@ -382,6 +435,13 @@ def main(argv=None):
     p.add_argument("--seconds", type=float, default=30.0)
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--arrays", type=int, default=3)
+    p.add_argument("--audio", default=None, choices=["null", "wav"],
+                   help="also run the gapless listening stage into this "
+                        "sink (pass now requires 0 audio underruns)")
+    p.add_argument("--audio-out", default="fullrate_miso.wav")
+    p.add_argument("--beam", default="time", choices=["time", "mvdr"],
+                   help="audio beam backend (delay-and-sum or adaptive "
+                        "MVDR)")
     p.set_defaults(fn=cmd_fullrate, replay=True)
 
     p = sub.add_parser("sensorfusion",

@@ -277,6 +277,105 @@ class MisoProducer(Stage):
             self.metric.tick(time.perf_counter() - t0)
 
 
+class BatchedMisoProducer(Stage):
+    """Full-rate (gapless) steered LISTENING: every frame beamed, in
+    counter-contiguous batches.
+
+    The reference's whole point of MISO is *continuous* playback — its
+    miso_loop feeds a PortAudio ring at line rate (``api.c:491-543``).
+    :class:`MisoProducer` keeps the reference's get_data semantics
+    (latest-frame snapshots, ``api.c:830-859``) which can skip/duplicate
+    frames in the audio stream; this stage instead drains the frame ring
+    in counter-contiguous K-frame batches, runs ONE batched
+    ``(K, M, N) -> (K, N)`` beam launch, and writes the concatenated
+    samples to the sink — a gapless 48,828 samples/s stream.  Frames the
+    ring overwrote unread are zero-filled (and counted in
+    ``underrun_frames``) so the output stays sample-count exact.
+
+    ``beam_fn(frames_dev (K, M, N), direction int) -> (K, N)``: the
+    delay-and-sum default comes from :meth:`Pipeline.make_miso_batched`;
+    pass ``beam='mvdr'`` there for the adaptive (streaming-MVDR
+    distortionless) beam, whose weights refresh from the streaming
+    precision state every batch.  Steering (:meth:`steer`) is a traced
+    argument — live, no recompile (``api.c:576-581``).
+
+    Accounting: ``processed`` frames beamed, ``underrun_frames`` frames
+    lost to ring overwrites (0 = gapless), ``samples`` written to the
+    sink, ``metric`` per-batch latency.
+    """
+
+    def __init__(self, receiver: Receiver, sink: audio_mod.AudioSink,
+                 metrics: PipelineMetrics, batch: int, beam_fn, post_fn,
+                 n_samples: int, channels: int = 0):
+        super().__init__("miso_batched", metrics)
+        if batch > receiver.ring_frames:
+            raise ValueError(
+                f"batch ({batch}) exceeds the receiver ring capacity "
+                f"({receiver.ring_frames}); raise Pipeline(ring_frames=)")
+        self.receiver = receiver
+        self.sink = sink
+        self.batch = batch
+        self.beam_fn = beam_fn
+        self.post_fn = post_fn
+        self.n_samples = n_samples
+        self.channels = channels
+        self.processed = 0
+        self.underrun_frames = 0
+        self.samples = 0
+        self._direction = 0
+        self._lock = threading.Lock()
+
+    def steer(self, direction: int):
+        with self._lock:
+            self._direction = int(direction)
+
+    def warmup(self):
+        n_ch = self.channels or self.receiver.cfg.n_microphones
+        zeros = np.zeros((self.batch, n_ch, self.n_samples), np.float32)
+        np.asarray(self.beam_fn(jax.device_put(zeros), 0))
+
+    def _finish(self, pending):
+        out, skipped, t0 = pending
+        beams = np.asarray(out)                        # (K, N) sync
+        self.metric.tick(time.perf_counter() - t0)
+        if skipped:
+            # keep the stream time-aligned: silence for the lost frames
+            self.underrun_frames += skipped
+            self.metric.drop(skipped)
+            gap = np.zeros(skipped * self.n_samples, np.float32)
+            self.sink.write(gap)
+            self.samples += gap.size
+        audio = self.post_fn(beams).reshape(-1).astype(np.float32)
+        self.sink.write(audio)
+        self.samples += audio.size
+        self.processed += beams.shape[0]
+
+    def run(self):
+        next_seq = 1
+        pending = None
+        while not self.stop_event.is_set():
+            try:
+                batch, first, skipped = self.receiver.read_batch(
+                    self.batch, next_seq, timeout=0.5,
+                    channels=self.channels)
+            except TimeoutError:
+                if pending is not None:
+                    self._finish(pending)
+                    pending = None
+                continue
+            next_seq = first + self.batch
+            with self._lock:
+                d = self._direction
+            t0 = time.perf_counter()
+            dev = jax.device_put(batch)        # async H2D, double-buffered
+            out = self.beam_fn(dev, d)         # async dispatch
+            if pending is not None:
+                self._finish(pending)          # sync batch i-1, in order
+            pending = (out, skipped, t0)
+        if pending is not None:
+            self._finish(pending)
+
+
 class CameraProducer(Stage):
     def __init__(self, capture, q_viewer: queue.Queue, q_yolo: queue.Queue,
                  metrics: PipelineMetrics, fps_limit: float = 60.0):
@@ -415,6 +514,86 @@ class Pipeline:
         self.stages.append(s)
         s.start()
         return s
+
+    def make_miso_batched(self, batch: int = 16, beam: str = "time",
+                          channels: int = 0, alpha: float = 0.9,
+                          sink: Optional[audio_mod.AudioSink] = None):
+        """Build (don't start) the full-rate listening stage.
+
+        ``beam='time'``: batched delay-and-sum (``beamform.miso_beam``)
+        through this pipeline's algorithm tables, with the reference's
+        gain chain (``api.c:517-522``).  ``beam='mvdr'``: the adaptive
+        distortionless beam — one fused device program per batch absorbs
+        the frames into the streaming inverse covariance and beams them
+        with the refreshed MVDR weights (``freq.mvdr_listen_step``).
+        """
+        cfg = self.cfg
+        n_full = cfg.n_microphones
+        donate = (0,) if jax.default_backend() != "cpu" else ()
+        if beam == "time":
+            tables = self.tables
+
+            @partial(jax.jit, donate_argnums=donate)
+            def _beam(frames, t, d):
+                pad = n_full - frames.shape[1]
+                if pad > 0:
+                    frames = jax.numpy.pad(frames,
+                                           ((0, 0), (0, pad), (0, 0)))
+                return beamform.miso_beam(frames, t, d)
+
+            beam_fn = lambda frames, d: _beam(frames, tables, d)  # noqa: E731
+            n = tables.n_mics
+            post_fn = lambda b: audio_mod.miso_gain(       # noqa: E731
+                b, n, cfg.mic_gain, cfg.norm_factor_sound)
+        elif beam == "mvdr":
+            from ..ops import freq
+
+            ft = freq.make_freq_tables(cfg, 100.0)
+            state = {"p": freq.init_precision(ft)}
+
+            @partial(jax.jit, static_argnames=("alpha",))
+            def _step(st, frames, t, d, alpha):
+                pad = n_full - frames.shape[1]
+                if pad > 0:
+                    frames = jax.numpy.pad(frames,
+                                           ((0, 0), (0, pad), (0, 0)))
+                return freq.mvdr_listen_step(st, frames, t, d, alpha=alpha)
+
+            def beam_fn(frames, d, _t=ft, _s=state):
+                beams, _s["p"] = _step(_s["p"], frames, _t, d, alpha)
+                return beams
+
+            def _reset(_t=ft, _s=state):
+                _s["p"] = freq.init_precision(_t)
+
+            beam_fn.reset = _reset
+            # the MVDR beam is distortionless (unit gain toward the steer
+            # direction) — no 1/n·MIC_GAIN rescale
+            post_fn = lambda b: b                          # noqa: E731
+        else:
+            raise ValueError(f"unknown beam backend {beam!r}")
+        if sink is None:
+            sink = audio_mod.make_sink(self._audio_sink_kind,
+                                       cfg.sample_rate, self._audio_path)
+        s = BatchedMisoProducer(self.receiver, sink, self.metrics,
+                                batch, beam_fn, post_fn,
+                                cfg.n_samples, channels=channels)
+        self._miso = s
+        return s
+
+    def start_miso_batched(self, batch: int = 16, beam: str = "time",
+                           warmup: bool = True, channels: int = 0,
+                           sink: Optional[audio_mod.AudioSink] = None):
+        """Full-rate variant of :meth:`start_miso` — gapless line-rate
+        listening (VERDICT: the one reference capability the latest-frame
+        sampler could not meet)."""
+        s = self.make_miso_batched(batch=batch, beam=beam,
+                                   channels=channels, sink=sink)
+        if warmup:
+            s.warmup()
+            if getattr(s.beam_fn, "reset", None):
+                s.beam_fn.reset()          # drop warmup pollution
+        return self.run_stage(s)
 
     def start_camera(self, capture):
         s = CameraProducer(capture, self.q_viewer, self.q_yolo, self.metrics)

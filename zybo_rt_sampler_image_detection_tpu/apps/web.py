@@ -56,6 +56,7 @@ _PAGE = """<!doctype html><html><head><title>zybo-rt-tpu</title></head>
  <a href="/enableBackend3?threshold={threshold}&amount={amount}">fft</a> |
  <a href="/enableBackend4?threshold={threshold}&amount={amount}">mvdr</a> |
  <a href="/sound?threshold={threshold}&amount={amount}">pad + sound</a> |
+ <a href="/sound?threshold={threshold}&amount={amount}&beam=mvdr">adaptive sound</a> |
  <a href="/replay">replay</a> |
  <a href="/disconnect">disconnect</a>
 </p>
@@ -115,7 +116,8 @@ class VideoCamera:
 
     # -- backend lifecycle (views.py:32-98 semantics) ---------------------------
 
-    def start(self, backend: int, sound: bool = False):
+    def start(self, backend: int, sound: bool = False,
+              sound_beam: str = "time"):
         with self._lock:
             self._stop_locked()
             algo = _BACKENDS.get(backend, "pad")
@@ -144,7 +146,12 @@ class VideoCamera:
             p.connect()
             p.start_heatmap()
             if sound:
-                p.start_miso()
+                if sound_beam == "mvdr":
+                    # adaptive listening: gapless batched MVDR beam
+                    # (weights refresh from the streaming inverse)
+                    p.start_miso_batched(beam="mvdr")
+                else:
+                    p.start_miso()
             self.pipeline = p
             self.backend = backend
 
@@ -298,8 +305,13 @@ def make_server(cfg: Config = None, replay: bool = False, port: int = 8000,
                 cam.start(n)
                 self._page(action=u.path)
             elif u.path == "/sound":
+                # ?beam=mvdr selects the adaptive (streaming-MVDR)
+                # distortionless listening beam; default is the
+                # reference's pad + delay-and-sum MISO
                 self._sliders(q)
-                cam.start(1, sound=True)
+                beam = q.get("beam", ["time"])[0]
+                cam.start(1, sound=True,
+                          sound_beam="mvdr" if beam == "mvdr" else "time")
                 self._page(action="/sound")
             elif u.path == "/replay":
                 status = ""

@@ -610,6 +610,21 @@ def mvdr_power_precision(state: PrecisionState, t: FreqTables,
     return power.reshape(t.res_x, t.res_y)
 
 
+def _apply_beam_weights(signals: jax.Array, t: FreqTables,
+                        w_re: jax.Array, w_im: jax.Array) -> jax.Array:
+    """Apply per-bin beam weights w (F, M) to frames (B, M_ch, N) and
+    return the time-domain beam (B, N): ``beam_f = w^H S`` per bin,
+    inverse DFT by matmul (band-limited irfft)."""
+    sr, si = _frame_fft(signals, t)                    # (B, F, M)
+    # beam_f = w^H S = conj(w).S
+    b_re = jnp.einsum("bfm,fm->bf", sr, w_re, precision=_HI) \
+         + jnp.einsum("bfm,fm->bf", si, w_im, precision=_HI)
+    b_im = jnp.einsum("bfm,fm->bf", si, w_re, precision=_HI) \
+         - jnp.einsum("bfm,fm->bf", sr, w_im, precision=_HI)
+    return (jnp.einsum("bf,fn->bn", b_re, t.idft_re, precision=_HI)
+            + jnp.einsum("bf,fn->bn", b_im, t.idft_im, precision=_HI))
+
+
 @jax.jit
 def mvdr_beam(state: CovarianceState, t: FreqTables, signals: jax.Array,
               direction: jax.Array,
@@ -627,13 +642,58 @@ def mvdr_beam(state: CovarianceState, t: FreqTables, signals: jax.Array,
     denom = jnp.maximum(
         jnp.sum(a_re * x_re + a_im * x_im, axis=1), 1e-12
     )[:, None]
-    w_re, w_im = x_re / denom, x_im / denom
-    sr, si = _frame_fft(signals, t)                    # (B, F, M)
-    # beam_f = w^H S = conj(w).S
-    b_re = jnp.einsum("bfm,fm->bf", sr, w_re, precision=_HI) \
-         + jnp.einsum("bfm,fm->bf", si, w_im, precision=_HI)
-    b_im = jnp.einsum("bfm,fm->bf", si, w_re, precision=_HI) \
-         - jnp.einsum("bfm,fm->bf", sr, w_im, precision=_HI)
-    beam = (jnp.einsum("bf,fn->bn", b_re, t.idft_re, precision=_HI)
-            + jnp.einsum("bf,fn->bn", b_im, t.idft_im, precision=_HI))
+    beam = _apply_beam_weights(signals, t, x_re / denom, x_im / denom)
     return beam[0] if squeeze else beam
+
+
+@jax.jit
+def mvdr_beam_precision(state: PrecisionState, t: FreqTables,
+                        signals: jax.Array,
+                        direction: jax.Array) -> jax.Array:
+    """Distortionless single-direction beam with weights straight from the
+    streaming inverse: ``w = P a / (a^H P a)`` — matmuls only, no
+    factorization.  This is the LIVE adaptive-listening path (the
+    reference steers its delay-and-sum beam live via ``steer``,
+    ``api.c:576-581``; the north star upgrades it to MVDR); the
+    covariance-based :func:`mvdr_beam` is the offline/exact variant.
+
+    ``direction`` is a traced flat grid index — steering never triggers a
+    recompile.  Returns (B, N) (or (N,) for a single frame).
+    """
+    squeeze = signals.ndim == 2
+    if squeeze:
+        signals = signals[None]
+    a_re = jax.lax.dynamic_index_in_dim(t.phase_re, direction, 2, False)
+    a_im = -jax.lax.dynamic_index_in_dim(t.phase_im, direction, 2, False)
+    # x = P a (complex matvec over (re, im) planes; P hermitian)
+    x_re = (jnp.einsum("fmn,fn->fm", state.P_re, a_re, precision=_HI)
+            - jnp.einsum("fmn,fn->fm", state.P_im, a_im, precision=_HI))
+    x_im = (jnp.einsum("fmn,fn->fm", state.P_re, a_im, precision=_HI)
+            + jnp.einsum("fmn,fn->fm", state.P_im, a_re, precision=_HI))
+    denom = jnp.maximum(
+        jnp.sum(a_re * x_re + a_im * x_im, axis=1), 1e-12
+    )[:, None]
+    beam = _apply_beam_weights(signals, t, x_re / denom, x_im / denom)
+    return beam[0] if squeeze else beam
+
+
+@partial(jax.jit, static_argnames=("alpha",))
+def mvdr_listen_step(state: PrecisionState, signals: jax.Array,
+                     t: FreqTables, direction: jax.Array,
+                     alpha: float = 0.9):
+    """One full-rate adaptive-listening step, fused into a single device
+    program: absorb a B-frame batch into the streaming inverse (exact
+    rank-B Woodbury, :func:`update_precision_block`), then beam EVERY
+    frame of the batch with the refreshed MVDR weights.
+
+    Returns ``(beams (B, N), new_state)``.  Weights refresh once per
+    batch (B frames = B·N/fs seconds of signal — fast enough for the
+    spatial statistics an acoustic scene evolves at, and it keeps the
+    per-batch cost one dispatch).  Ref: the reference's whole point of
+    MISO is *continuous* playback at line rate (``api.c:491-543``).
+    """
+    if signals.ndim == 2:
+        signals = signals[None]
+    new_state = update_precision_block(state, signals, t, alpha=alpha)
+    beams = mvdr_beam_precision(new_state, t, signals, direction)
+    return beams, new_state
