@@ -219,6 +219,60 @@ def test_batched_miso_gapless_and_parity(beam):
     np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-7)
 
 
+def test_combined_mimo_miso_stage():
+    """The combined stage serves BOTH outputs from one transfer/program:
+    every frame's heatmap matches the single-frame XLA path and the
+    audio stream matches the per-frame beam oracle, with zero drops."""
+    from zybo_rt_sampler_image_detection_tpu.utils import audio as am
+
+    port = 21947
+    cfg = zrt.Config.tiny().replace(udp_port=port)
+    n_frames, K = 16, 4
+    rng = np.random.default_rng(9)
+    base = (rng.standard_normal(
+        (cfg.n_microphones, cfg.n_samples)) * 0.05).astype(np.float32)
+    frames = [(base * (1.0 + 0.1 * i)).astype(np.float32)
+              for i in range(n_frames)]
+
+    p = Pipeline(cfg, algorithm="lerp", replay_mode=True, backend="python")
+    p.receiver.exact_reference = False
+    a_sink = _CaptureSink()
+    got = {}
+
+    def power_sink(powers, first_seq):
+        for j, pw in enumerate(powers):
+            got[first_seq + j] = pw
+
+    streamer.stream_in_background(cfg, frames, n_arrays=1, delay=0.5,
+                                  exact_reference=False,
+                                  rate=2 * cfg.sample_rate)
+    p.connect(timeout=5.0)
+    stage = p.make_mimo_miso_batched(batch=K, sink=a_sink,
+                                     power_sink=power_sink)
+    stage.warmup()
+    p.run_stage(stage)
+    deadline = time.time() + 20.0
+    while stage.processed < n_frames and time.time() < deadline:
+        time.sleep(0.05)
+    p.stop()
+
+    assert stage.skipped == 0 and stage.underrun_frames == 0
+    assert stage.processed >= n_frames
+    assert a_sink.stream.size == stage.samples == \
+        stage.processed * cfg.n_samples
+    wires = [(np.round(f.astype(np.float64) * cfg.norm_factor)
+              / cfg.norm_factor).astype(np.float32) for f in frames]
+    for s in (1, n_frames // 2, n_frames):
+        expect = np.asarray(beamform.steered_power(wires[s - 1], p.tables))
+        np.testing.assert_allclose(got[s], expect, rtol=1e-4, atol=1e-10)
+    expect_audio = np.concatenate([
+        am.miso_gain(np.asarray(beamform.miso_beam(w, p.tables, 0)),
+                     p.tables.n_mics, cfg.mic_gain, cfg.norm_factor_sound)
+        for w in wires])
+    np.testing.assert_allclose(a_sink.stream[:expect_audio.size],
+                               expect_audio, rtol=1e-4, atol=1e-7)
+
+
 def test_batched_miso_underrun_zero_fill():
     """Frames lost to ring overwrites are zero-filled and counted, so the
     output stream stays time-aligned (sample-count exact)."""
@@ -242,7 +296,7 @@ def test_batched_miso_underrun_zero_fill():
     stage = BatchedMisoProducer(
         _FakeReceiver(), sink, PipelineMetrics(), batch=2,
         beam_fn=lambda f, d: f, post_fn=lambda b: b, n_samples=N)
-    stage._finish((beams, 3, time.perf_counter()))
+    stage._finish((beams, 1, 3, time.perf_counter()))
     assert stage.underrun_frames == 3
     assert stage.processed == 2
     assert stage.samples == 5 * N

@@ -265,23 +265,38 @@ def cmd_fullrate(args):
     print(f"line rate {line_rate:.1f} frames/s "
           f"({cfg.sample_rate:.0f} pkt/s); batch={args.batch}; "
           f"channels={n_ch}; running {args.seconds:.0f}s ...")
-    stage = p.make_heatmap_batched(batch=args.batch, sink=sink,
-                                   channels=n_ch)
     audio_stage = None
-    if args.audio:
+    if args.audio and args.audio_only:
+        # pure listening proof: every frame beamed, gapless stream
         from ..utils import audio as audio_mod
         a_sink = audio_mod.make_sink(args.audio, cfg.sample_rate,
                                      args.audio_out)
-        audio_stage = p.make_miso_batched(batch=args.batch, beam=args.beam,
-                                          channels=n_ch, sink=a_sink)
+        stage = p.make_miso_batched(batch=args.batch, beam=args.beam,
+                                    channels=n_ch, sink=a_sink,
+                                    transfer=args.transfer)
+        audio_stage = stage
+    elif args.audio:
+        # imaging + listening from ONE transfer / one fused program per
+        # batch (two separate stages would 2x the H2D traffic, which
+        # alone exceeds the tunnel budget at line rate)
+        from ..utils import audio as audio_mod
+        a_sink = audio_mod.make_sink(args.audio, cfg.sample_rate,
+                                     args.audio_out)
+        stage = p.make_mimo_miso_batched(batch=args.batch, beam=args.beam,
+                                         channels=n_ch, sink=a_sink,
+                                         power_sink=sink,
+                                         transfer=args.transfer)
+        audio_stage = stage
+    else:
+        stage = p.make_heatmap_batched(batch=args.batch, sink=sink,
+                                       channels=n_ch,
+                                       transfer=args.transfer)
     t0 = time.time()
     stage.warmup()                          # compile before packets flow
-    if getattr(p._power_fn, "reset", None):
-        p._power_fn.reset()                 # stateful (MVDR) backends
-    if audio_stage is not None:
-        audio_stage.warmup()
-        if getattr(audio_stage.beam_fn, "reset", None):
-            audio_stage.beam_fn.reset()
+    for fn in (p._power_fn, getattr(stage, "process_fn", None),
+               getattr(stage, "beam_fn", None)):
+        if getattr(fn, "reset", None):
+            fn.reset()                      # stateful (MVDR) backends
     print(f"  device program ready in {time.time()-t0:.1f}s; "
           "starting native line-rate emulator")
     t = np.arange(cfg.n_samples * 64) / cfg.sample_rate
@@ -292,8 +307,6 @@ def cmd_fullrate(args):
     try:
         p.connect()                        # first packet = header
         p.run_stage(stage)
-        if audio_stage is not None:
-            p.run_stage(audio_stage)
         t0 = time.time()
         while time.time() - t0 < args.seconds:
             time.sleep(1.0)
@@ -325,9 +338,10 @@ def cmd_fullrate(args):
           f"{line_rate:.1f}/s)")
     print(f"skipped (ring overwrites) = {stage.skipped}; "
           f"ingest packet gaps = {p.receiver.native_stats.gaps}")
+    key = stage.metric.name
     print("batch latency p50 =",
-          rep["heatmap_batched"]["latency_p50_ms"], "ms  p95 =",
-          rep["heatmap_batched"]["latency_p95_ms"], "ms")
+          rep[key]["latency_p50_ms"], "ms  p95 =",
+          rep[key]["latency_p95_ms"], "ms")
     print("metrics:", rep)
     print("FULL RATE SUSTAINED" if ok else "DROPS DETECTED")
     return 0 if ok else 1
@@ -438,10 +452,17 @@ def main(argv=None):
     p.add_argument("--audio", default=None, choices=["null", "wav"],
                    help="also run the gapless listening stage into this "
                         "sink (pass now requires 0 audio underruns)")
+    p.add_argument("--audio-only", action="store_true",
+                   help="with --audio: listening only, no heatmaps (the "
+                        "pure gapless-WAV proof)")
     p.add_argument("--audio-out", default="fullrate_miso.wav")
     p.add_argument("--beam", default="time", choices=["time", "mvdr"],
                    help="audio beam backend (delay-and-sum or adaptive "
                         "MVDR)")
+    p.add_argument("--transfer", default="f32", choices=["f32", "f16"],
+                   help="host->device sample dtype: f16 halves tunnel "
+                        "traffic at ~1e-3 relative error (display-grade "
+                        "opt-in for bandwidth-bound hosts)")
     p.set_defaults(fn=cmd_fullrate, replay=True)
 
     p = sub.add_parser("sensorfusion",

@@ -110,7 +110,97 @@ class HeatmapProducer(Stage):
                 self.metric.drop()
 
 
-class BatchedHeatmapProducer(Stage):
+class BatchedStage(Stage):
+    """Shared machinery for the full-rate stages: drain the receiver's
+    frame ring in counter-contiguous K-frame batches, double-buffer the
+    device pipeline (batch *i+1* is transferred — ``jax.device_put``,
+    async — and dispatched while batch *i*'s result synchronizes), and
+    hand each completed batch to :meth:`consume`.
+
+    Subclasses implement ``launch(frames_dev) -> device output (pytree)``
+    (must not block) and ``consume(host_output, first_seq, skipped)``.
+    Accounting: ``processed`` frames through the device, ``skipped``
+    frames the ring overwrote unread (0 = full rate sustained),
+    ``metric`` per-batch latency.
+    """
+
+    def __init__(self, name: str, receiver: Receiver,
+                 metrics: PipelineMetrics, batch: int, channels: int = 0,
+                 transfer: str = "f32"):
+        super().__init__(name, metrics)
+        if batch > receiver.ring_frames:
+            # fail fast: read_batch would raise inside the stage thread,
+            # killing it silently while the pipeline runs output-less
+            raise ValueError(
+                f"batch ({batch}) exceeds the receiver ring capacity "
+                f"({receiver.ring_frames}); raise Pipeline(ring_frames=)")
+        self.receiver = receiver
+        self.batch = batch
+        self.channels = channels
+        self.processed = 0
+        self.skipped = 0
+        # "f16" halves host->device traffic (~1e-3 relative error on the
+        # 24-bit-normalized samples) — an explicit display-grade opt-in
+        # for tunnel-bandwidth-bound hosts; device programs upcast to f32
+        # on arrival.  Default stays exact f32.
+        self.transfer_dtype = {"f32": np.float32,
+                               "f16": np.float16}[transfer]
+
+    def _to_device(self, batch: np.ndarray):
+        if self.transfer_dtype is not np.float32:
+            batch = batch.astype(self.transfer_dtype)
+        return jax.device_put(batch)
+
+    def launch(self, frames_dev):
+        raise NotImplementedError
+
+    def consume(self, out, first_seq: int, skipped: int) -> None:
+        raise NotImplementedError
+
+    def warmup(self):
+        """Compile the device program(s) before any packets flow (the
+        remote compile service can take minutes; a mid-run first compile
+        stalls the stage and drops frames)."""
+        n_ch = self.channels or self.receiver.cfg.n_microphones
+        zeros = np.zeros((self.batch, n_ch, self.receiver.cfg.n_samples),
+                         np.float32)
+        jax.tree.map(np.asarray, self.launch(self._to_device(zeros)))
+
+    def _finish(self, pending):
+        out, first, skipped, t0 = pending
+        host = jax.tree.map(np.asarray, out)           # sync batch i-1
+        self.metric.tick(time.perf_counter() - t0)
+        if skipped:
+            self.skipped += skipped
+            self.metric.drop(skipped)
+        self.processed += self.batch
+        self.consume(host, first, skipped)
+
+    def run(self):
+        next_seq = 1
+        pending = None
+        while not self.stop_event.is_set():
+            try:
+                batch, first, skipped = self.receiver.read_batch(
+                    self.batch, next_seq, timeout=0.5,
+                    channels=self.channels)
+            except TimeoutError:
+                if pending is not None:
+                    self._finish(pending)
+                    pending = None
+                continue
+            next_seq = first + self.batch
+            t0 = time.perf_counter()
+            dev = self._to_device(batch)       # async H2D, double-buffered
+            out = self.launch(dev)             # async dispatch
+            if pending is not None:
+                self._finish(pending)          # sync batch i-1, in order
+            pending = (out, first, skipped, t0)
+        if pending is not None:
+            self._finish(pending)
+
+
+class BatchedHeatmapProducer(BatchedStage):
     """Full-line-rate heatmap stage: EVERY frame beamformed, not
     latest-frame sampling.
 
@@ -135,21 +225,12 @@ class BatchedHeatmapProducer(Stage):
 
     def __init__(self, receiver: Receiver, tables, q_power: queue.Queue,
                  metrics: PipelineMetrics, batch: int = 16,
-                 power_fn=None, sink=None, channels: int = 0):
-        super().__init__("heatmap_batched", metrics)
-        if batch > receiver.ring_frames:
-            # fail fast: read_batch would raise inside the stage thread,
-            # killing it silently while the pipeline runs on heatmap-less
-            raise ValueError(
-                f"batch ({batch}) exceeds the receiver ring capacity "
-                f"({receiver.ring_frames}); raise Pipeline(ring_frames=)")
-        self.receiver = receiver
+                 power_fn=None, sink=None, channels: int = 0,
+                 transfer: str = "f32"):
+        super().__init__("heatmap_batched", receiver, metrics, batch,
+                         channels, transfer)
         self.tables = tables
         self.q_power = q_power
-        self.batch = batch
-        self.channels = channels
-        self.processed = 0
-        self.skipped = 0
         self.sink = sink or self._default_sink
         if power_fn is None:
             # donation lets XLA reuse the input batch's HBM; CPU can't use
@@ -170,7 +251,9 @@ class BatchedHeatmapProducer(Stage):
             @partial(jax.jit, donate_argnums=donate)
             def _power(frames, t):
                 # channel-sliced transfers are padded back to the full
-                # mic axis on device (the tail rows are always zero)
+                # mic axis on device (the tail rows are always zero);
+                # f16-transfer batches upcast here
+                frames = frames.astype(jax.numpy.float32)
                 pad = n_full - frames.shape[1]
                 if pad > 0:
                     frames = jax.numpy.pad(frames,
@@ -189,6 +272,7 @@ class BatchedHeatmapProducer(Stage):
             n_full = receiver.cfg.n_microphones
 
             def power_fn(frames, _b=base_fn, _n=n_full):
+                frames = frames.astype(jax.numpy.float32)
                 pad = _n - frames.shape[1]
                 if pad > 0:
                     frames = jax.numpy.pad(frames,
@@ -201,44 +285,11 @@ class BatchedHeatmapProducer(Stage):
                                (powers[-1], first_seq + len(powers) - 1)):
             pass  # display drop only; processing already counted
 
-    def warmup(self):
-        n_ch = self.channels or self.receiver.cfg.n_microphones
-        zeros = np.zeros((self.batch, n_ch, self.receiver.cfg.n_samples),
-                         np.float32)
-        np.asarray(self.power_fn(jax.device_put(zeros)))
+    def launch(self, frames_dev):
+        return self.power_fn(frames_dev)
 
-    def _finish(self, pending):
-        out, first, t0 = pending
-        powers = np.asarray(out)
-        self.metric.tick(time.perf_counter() - t0)
-        self.processed += powers.shape[0]
-        self.sink(powers, first)
-
-    def run(self):
-        next_seq = 1
-        pending = None
-        while not self.stop_event.is_set():
-            try:
-                batch, first, skipped = self.receiver.read_batch(
-                    self.batch, next_seq, timeout=0.5,
-                    channels=self.channels)
-            except TimeoutError:
-                if pending is not None:
-                    self._finish(pending)
-                    pending = None
-                continue
-            next_seq = first + self.batch
-            if skipped:
-                self.skipped += skipped
-                self.metric.drop(skipped)
-            t0 = time.perf_counter()
-            dev = jax.device_put(batch)         # async H2D, double-buffered
-            out = self.power_fn(dev)            # async dispatch
-            if pending is not None:
-                self._finish(pending)           # sync batch i-1
-            pending = (out, first, t0)
-        if pending is not None:
-            self._finish(pending)
+    def consume(self, powers, first_seq: int, skipped: int):
+        self.sink(powers, first_seq)
 
 
 class MisoProducer(Stage):
@@ -277,7 +328,7 @@ class MisoProducer(Stage):
             self.metric.tick(time.perf_counter() - t0)
 
 
-class BatchedMisoProducer(Stage):
+class BatchedMisoProducer(BatchedStage):
     """Full-rate (gapless) steered LISTENING: every frame beamed, in
     counter-contiguous batches.
 
@@ -306,20 +357,13 @@ class BatchedMisoProducer(Stage):
 
     def __init__(self, receiver: Receiver, sink: audio_mod.AudioSink,
                  metrics: PipelineMetrics, batch: int, beam_fn, post_fn,
-                 n_samples: int, channels: int = 0):
-        super().__init__("miso_batched", metrics)
-        if batch > receiver.ring_frames:
-            raise ValueError(
-                f"batch ({batch}) exceeds the receiver ring capacity "
-                f"({receiver.ring_frames}); raise Pipeline(ring_frames=)")
-        self.receiver = receiver
+                 n_samples: int, channels: int = 0,
+                 name: str = "miso_batched", transfer: str = "f32"):
+        super().__init__(name, receiver, metrics, batch, channels, transfer)
         self.sink = sink
-        self.batch = batch
         self.beam_fn = beam_fn
         self.post_fn = post_fn
         self.n_samples = n_samples
-        self.channels = channels
-        self.processed = 0
         self.underrun_frames = 0
         self.samples = 0
         self._direction = 0
@@ -329,51 +373,69 @@ class BatchedMisoProducer(Stage):
         with self._lock:
             self._direction = int(direction)
 
-    def warmup(self):
-        n_ch = self.channels or self.receiver.cfg.n_microphones
-        zeros = np.zeros((self.batch, n_ch, self.n_samples), np.float32)
-        np.asarray(self.beam_fn(jax.device_put(zeros), 0))
+    def launch(self, frames_dev):
+        with self._lock:
+            d = self._direction
+        return self.beam_fn(frames_dev, d)
 
-    def _finish(self, pending):
-        out, skipped, t0 = pending
-        beams = np.asarray(out)                        # (K, N) sync
-        self.metric.tick(time.perf_counter() - t0)
+    def _write_audio(self, beams: np.ndarray, skipped: int):
         if skipped:
             # keep the stream time-aligned: silence for the lost frames
             self.underrun_frames += skipped
-            self.metric.drop(skipped)
             gap = np.zeros(skipped * self.n_samples, np.float32)
             self.sink.write(gap)
             self.samples += gap.size
         audio = self.post_fn(beams).reshape(-1).astype(np.float32)
         self.sink.write(audio)
         self.samples += audio.size
-        self.processed += beams.shape[0]
 
-    def run(self):
-        next_seq = 1
-        pending = None
-        while not self.stop_event.is_set():
-            try:
-                batch, first, skipped = self.receiver.read_batch(
-                    self.batch, next_seq, timeout=0.5,
-                    channels=self.channels)
-            except TimeoutError:
-                if pending is not None:
-                    self._finish(pending)
-                    pending = None
-                continue
-            next_seq = first + self.batch
-            with self._lock:
-                d = self._direction
-            t0 = time.perf_counter()
-            dev = jax.device_put(batch)        # async H2D, double-buffered
-            out = self.beam_fn(dev, d)         # async dispatch
-            if pending is not None:
-                self._finish(pending)          # sync batch i-1, in order
-            pending = (out, skipped, t0)
-        if pending is not None:
-            self._finish(pending)
+    def consume(self, beams, first_seq: int, skipped: int):
+        self._write_audio(beams, skipped)
+
+
+class BatchedMimoMisoProducer(BatchedMisoProducer):
+    """Combined full-rate MIMO + MISO: ONE host->device transfer per batch
+    serves BOTH the heatmap and the listening output.
+
+    The reference runs imaging and listening off the same shared-memory
+    frames (``_loop_mimo_and_miso_*``, ``main.pyx:279-380``); here the
+    shared resource is the host->device link — two separate batched
+    stages would each transfer the same frames (2x H2D, which alone
+    exceeds the tunnel budget at line rate), while this stage transfers
+    once and runs one fused program:
+    ``process_fn(frames_dev, direction) -> (powers (K, X, Y),
+    beams (K, N))``.  For the MVDR backend that program shares the
+    streaming-inverse state update between the Capon maps and the beam
+    weights.  Heatmaps go to ``power_sink`` (default: newest-of-batch to
+    ``q_power``); audio follows the gapless zero-fill contract of
+    :class:`BatchedMisoProducer`.
+    """
+
+    def __init__(self, receiver: Receiver, sink: audio_mod.AudioSink,
+                 metrics: PipelineMetrics, batch: int, process_fn, post_fn,
+                 n_samples: int, q_power: queue.Queue, power_sink=None,
+                 channels: int = 0, transfer: str = "f32"):
+        super().__init__(receiver, sink, metrics, batch, beam_fn=None,
+                         post_fn=post_fn, n_samples=n_samples,
+                         channels=channels, name="mimo_miso_batched",
+                         transfer=transfer)
+        self.process_fn = process_fn
+        self.q_power = q_power
+        self.power_sink = power_sink or self._default_power_sink
+
+    def _default_power_sink(self, powers: np.ndarray, first_seq: int):
+        put_drop_oldest(self.q_power,
+                        (powers[-1], first_seq + len(powers) - 1))
+
+    def launch(self, frames_dev):
+        with self._lock:
+            d = self._direction
+        return self.process_fn(frames_dev, d)
+
+    def consume(self, out, first_seq: int, skipped: int):
+        powers, beams = out
+        self.power_sink(powers, first_seq)
+        self._write_audio(beams, skipped)
 
 
 class CameraProducer(Stage):
@@ -478,14 +540,15 @@ class Pipeline:
         return s
 
     def make_heatmap_batched(self, batch: int = 16, sink=None,
-                             channels: int = 0):
+                             channels: int = 0, transfer: str = "f32"):
         """Build (but don't start) the full-line-rate stage — lets callers
         :meth:`BatchedHeatmapProducer.warmup` (compile) before any packets
         flow, then :meth:`run_stage` it after :meth:`connect`."""
         return BatchedHeatmapProducer(self.receiver, self.tables,
                                       self.q_power, self.metrics,
                                       batch=batch, power_fn=self._power_fn,
-                                      sink=sink, channels=channels)
+                                      sink=sink, channels=channels,
+                                      transfer=transfer)
 
     def run_stage(self, s):
         self.stages.append(s)
@@ -517,7 +580,8 @@ class Pipeline:
 
     def make_miso_batched(self, batch: int = 16, beam: str = "time",
                           channels: int = 0, alpha: float = 0.9,
-                          sink: Optional[audio_mod.AudioSink] = None):
+                          sink: Optional[audio_mod.AudioSink] = None,
+                          transfer: str = "f32"):
         """Build (don't start) the full-rate listening stage.
 
         ``beam='time'``: batched delay-and-sum (``beamform.miso_beam``)
@@ -535,6 +599,7 @@ class Pipeline:
 
             @partial(jax.jit, donate_argnums=donate)
             def _beam(frames, t, d):
+                frames = frames.astype(jax.numpy.float32)
                 pad = n_full - frames.shape[1]
                 if pad > 0:
                     frames = jax.numpy.pad(frames,
@@ -549,10 +614,11 @@ class Pipeline:
             from ..ops import freq
 
             ft = freq.make_freq_tables(cfg, 100.0)
-            state = {"p": freq.init_precision(ft)}
+            state = {"p": freq.init_precision(ft), "n": 0, "r": 0}
 
             @partial(jax.jit, static_argnames=("alpha",))
             def _step(st, frames, t, d, alpha):
+                frames = frames.astype(jax.numpy.float32)
                 pad = n_full - frames.shape[1]
                 if pad > 0:
                     frames = jax.numpy.pad(frames,
@@ -561,10 +627,21 @@ class Pipeline:
 
             def beam_fn(frames, d, _t=ft, _s=state):
                 beams, _s["p"] = _step(_s["p"], frames, _t, d, alpha)
+                _s["n"] += frames.shape[0]
+                # exact Cholesky refresh bounds f32 drift; interval
+                # scales with the block size (block updates drift ~B x
+                # less per frame — see demo.py mvdr power_fn)
+                if _s["n"] - _s["r"] >= 256 * max(1, frames.shape[0] // 8):
+                    _s["p"] = freq.refresh_precision(_s["p"], _t)
+                    _s["r"] = _s["n"]
                 return beams
 
             def _reset(_t=ft, _s=state):
+                # drop warmup pollution and compile the periodic-refresh
+                # program NOW (a mid-run first compile stalls the stage)
                 _s["p"] = freq.init_precision(_t)
+                freq.refresh_precision(_s["p"], _t).P_re.block_until_ready()
+                _s["n"] = _s["r"] = 0
 
             beam_fn.reset = _reset
             # the MVDR beam is distortionless (unit gain toward the steer
@@ -577,7 +654,93 @@ class Pipeline:
                                        cfg.sample_rate, self._audio_path)
         s = BatchedMisoProducer(self.receiver, sink, self.metrics,
                                 batch, beam_fn, post_fn,
-                                cfg.n_samples, channels=channels)
+                                cfg.n_samples, channels=channels,
+                                transfer=transfer)
+        self._miso = s
+        return s
+
+    def make_mimo_miso_batched(self, batch: int = 16, beam: str = "time",
+                               channels: int = 0, alpha: float = 0.9,
+                               sink: Optional[audio_mod.AudioSink] = None,
+                               power_sink=None, transfer: str = "f32"):
+        """Build (don't start) the combined full-rate imaging+listening
+        stage: one transfer, one fused device program per batch producing
+        heatmaps AND the steered beam (the MVDR backend shares its
+        streaming-inverse update between the Capon maps and the beam
+        weights)."""
+        cfg = self.cfg
+        n_full = cfg.n_microphones
+        donate = (0,) if jax.default_backend() != "cpu" else ()
+        if beam == "time":
+            tables = self.tables
+            fused = None
+            if tables.precision != "highest" \
+                    and jax.default_backend() == "tpu":
+                from ..ops.pallas_kernels import FusedBeamformer
+
+                f = FusedBeamformer(tables)
+                if f.fits_vmem:
+                    fused = f
+
+            @partial(jax.jit, donate_argnums=donate)
+            def _both(frames, t, d):
+                frames = frames.astype(jax.numpy.float32)
+                pad = n_full - frames.shape[1]
+                if pad > 0:
+                    frames = jax.numpy.pad(frames,
+                                           ((0, 0), (0, pad), (0, 0)))
+                if fused is not None:
+                    p = fused._forward(frames, t.W, t.Wc, t.adaptive)
+                else:
+                    p = beamform.steered_power(frames, t)
+                return p, beamform.miso_beam(frames, t, d)
+
+            process_fn = lambda f, d: _both(f, tables, d)  # noqa: E731
+            n = tables.n_mics
+            post_fn = lambda b: audio_mod.miso_gain(       # noqa: E731
+                b, n, cfg.mic_gain, cfg.norm_factor_sound)
+        elif beam == "mvdr":
+            from ..ops import freq
+
+            ft = freq.make_freq_tables(cfg, 100.0)
+            state = {"p": freq.init_precision(ft), "n": 0, "r": 0}
+
+            @partial(jax.jit, static_argnames=("alpha",))
+            def _step(st, frames, t, d, alpha):
+                frames = frames.astype(jax.numpy.float32)
+                pad = n_full - frames.shape[1]
+                if pad > 0:
+                    frames = jax.numpy.pad(frames,
+                                           ((0, 0), (0, pad), (0, 0)))
+                maps, st2 = freq.mvdr_maps_scan(st, frames, t, alpha=alpha)
+                beams = freq.mvdr_beam_precision(st2, t, frames, d)
+                return maps, beams, st2
+
+            def process_fn(frames, d, _t=ft, _s=state):
+                maps, beams, _s["p"] = _step(_s["p"], frames, _t, d, alpha)
+                _s["n"] += frames.shape[0]
+                if _s["n"] - _s["r"] >= 256 * max(1, frames.shape[0] // 8):
+                    _s["p"] = freq.refresh_precision(_s["p"], _t)
+                    _s["r"] = _s["n"]
+                return maps, beams
+
+            def _reset(_t=ft, _s=state):
+                _s["p"] = freq.init_precision(_t)
+                freq.refresh_precision(_s["p"], _t).P_re.block_until_ready()
+                _s["n"] = _s["r"] = 0
+
+            process_fn.reset = _reset
+            post_fn = lambda b: b                          # noqa: E731
+        else:
+            raise ValueError(f"unknown beam backend {beam!r}")
+        if sink is None:
+            sink = audio_mod.make_sink(self._audio_sink_kind,
+                                       cfg.sample_rate, self._audio_path)
+        s = BatchedMimoMisoProducer(self.receiver, sink, self.metrics,
+                                    batch, process_fn, post_fn,
+                                    cfg.n_samples, self.q_power,
+                                    power_sink=power_sink,
+                                    channels=channels, transfer=transfer)
         self._miso = s
         return s
 

@@ -37,18 +37,28 @@ class NullSink(AudioSink):
 
 
 class WavFileSink(AudioSink):
+    """Stdlib ``wave`` writer.  Chunks are buffered in memory and written
+    at :meth:`close` — a synchronous disk write inside the real-time
+    stage thread can stall for tens of ms on a contended host and starve
+    the line-rate pipeline (30 s of 48,828 Hz int16 mono is ~2.9 MB)."""
+
     def __init__(self, path: str, sample_rate: float):
-        self._wav = wave.open(path, "wb")
-        self._wav.setnchannels(1)
-        self._wav.setsampwidth(2)
-        self._wav.setframerate(int(round(sample_rate)))
+        self._path = path
+        self._rate = int(round(sample_rate))
+        self._chunks = []
 
     def write(self, samples: np.ndarray) -> None:
         clipped = np.clip(samples, -1.0, 1.0)
-        self._wav.writeframes((clipped * 32767).astype("<i2").tobytes())
+        self._chunks.append((clipped * 32767).astype("<i2").tobytes())
 
     def close(self) -> None:
-        self._wav.close()
+        w = wave.open(self._path, "wb")
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(self._rate)
+        w.writeframes(b"".join(self._chunks))
+        w.close()
+        self._chunks = []
 
 
 class SoundDeviceSink(AudioSink):                     # pragma: no cover
