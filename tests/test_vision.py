@@ -3,6 +3,7 @@ API parity, training-loss descent, SORT lifecycle, smoothed tracking with
 correlation revival."""
 
 import queue
+import time
 
 import numpy as np
 import pytest
@@ -185,3 +186,69 @@ def test_detector_ap_gate():
     imgs, boxes = data.synthetic_detection_batch(rng, 48, size=64)
     ap = ev.evaluate_detector(det, imgs, boxes)
     assert ap >= 0.75, f"AP@0.5 regressed: {ap:.3f}"
+
+
+def test_detector_batch_matches_single():
+    """get_detections_batch == per-frame get_detections (one device
+    launch vs K), including a padded partial batch."""
+    det = detect.YoloDetector(cfg=small_cfg(), max_det=8)
+    rng = np.random.default_rng(3)
+    frames = [(rng.random((100 + 10 * i, 140, 3)) * 255).astype(np.uint8)
+              for i in range(3)]
+    batched = det.get_detections_batch(frames, conf_threshold=0.0,
+                                       pad_to=4)
+    assert len(batched) == 3
+    for f, dets in zip(frames, batched):
+        single = det.get_detections(f, conf_threshold=0.0)
+        assert len(single) == len(dets)
+        if single:
+            np.testing.assert_allclose(np.asarray(dets),
+                                       np.asarray(single), rtol=1e-5,
+                                       atol=1e-4)
+    assert det.get_detections_batch([]) == []
+
+
+def test_batched_tracker_stage_processes_every_frame():
+    """The batched tracker stage consumes every queued frame exactly once
+    and emits overlays in order (the hermetic done-condition of the
+    batched-detector VERDICT item)."""
+    from zybo_rt_sampler_image_detection_tpu.apps.pipeline import (
+        BatchedTrackerStage,
+    )
+    from zybo_rt_sampler_image_detection_tpu.utils.metrics import (
+        PipelineMetrics,
+    )
+
+    class StubDetector:
+        cfg = small_cfg()
+
+        def __init__(self):
+            self.batch_calls = 0
+
+        def get_detections_batch(self, frames, conf_threshold=0.0,
+                                 pad_to=0):
+            self.batch_calls += 1
+            return [[[10.0, 10.0, 30.0, 30.0, 0.9]] for _ in frames]
+
+    det = StubDetector()
+    n_frames, K = 10, 4
+    q_in, q_out = queue.Queue(), queue.Queue(maxsize=n_frames + 1)
+    for i in range(1, n_frames + 1):
+        q_in.put((i, np.zeros((64, 64, 3), np.uint8)))
+    stage = BatchedTrackerStage(det, q_in, q_out, PipelineMetrics(),
+                                batch=K)
+    stage.start()
+    deadline = time.time() + 10.0
+    while stage.processed < n_frames and time.time() < deadline:
+        time.sleep(0.02)
+    stage.stop()
+    stage.join(timeout=2.0)
+
+    assert stage.processed == n_frames
+    results = [q_out.get() for _ in range(q_out.qsize())]
+    assert [r[0] for r in results] == list(range(1, n_frames + 1))
+    for no, overlay, rect in results:
+        assert overlay.shape == (64, 64, 3)
+        assert rect[2] == pytest.approx(0.9)
+    # batching actually happened: 10 frames in <= 4 launches, not 10
+    assert det.batch_calls <= 4

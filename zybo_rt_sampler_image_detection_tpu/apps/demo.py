@@ -367,7 +367,12 @@ def cmd_sensorfusion(args):
     p.start_camera(cam)
     det = YoloDetector(model_path=args.weights,
                        cfg=YoloConfig(input_size=224, width_mult=0.5))
-    p.start_tracker(det)
+    if args.tracker_batch > 1:
+        # one YOLO device launch per K camera frames (the single-frame
+        # loop is dispatch-bound at ~15 fps through the tunnel)
+        p.start_tracker_batched(det, batch=args.tracker_batch)
+    else:
+        p.start_tracker(det)
 
     frames_wanted = args.frames or 30
     disp = ArrayDisplay(keep=frames_wanted)
@@ -470,6 +475,9 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("--camera", type=int, default=-1,
                    help="camera index (-1 = synthetic)")
+    p.add_argument("--tracker-batch", type=int, default=4,
+                   help="camera frames per YOLO device launch (1 = the "
+                        "single-frame reference-parity loop)")
     p.add_argument("--weights", default=None, help="detector weights (.pkl)")
     p.add_argument("--out", default="sensorfusion.mp4")
     p.add_argument("--width", type=int, default=640)

@@ -460,6 +460,25 @@ class CameraProducer(Stage):
             time.sleep(self.interval)
 
 
+def _draw_tracks(imaging, blank, tracks, dets, prev_rect_conf):
+    """Draw ID boxes on the blank overlay and return the newest
+    [[x1,y1],[x2,y2],conf] (the ``rect_conf`` contract of
+    ``process_video_track_boxes_only``, ``yolo_smooth_tracking.py:
+    275-348``)."""
+    from ..models.tracking import compute_iou
+    rect_conf = prev_rect_conf
+    for tr in tracks:
+        x1, y1, x2, y2, tid = tr.astype(int)
+        imaging.rectangle(blank, (x1, y1), (x2, y2), (0, 255, 0), 2)
+        conf = 0.0
+        for det in dets:
+            if compute_iou([x1, y1, x2, y2], det[:4]) > 0.5:
+                conf = float(det[4])
+                break
+        rect_conf = [[int(x1), int(y1)], [int(x2), int(y2)], conf]
+    return rect_conf
+
+
 class TrackerStage(Stage):
     def __init__(self, detector, q_yolo: queue.Queue,
                  q_inference: queue.Queue, metrics: PipelineMetrics):
@@ -472,7 +491,6 @@ class TrackerStage(Stage):
         self.tracker = SmoothedTracker(detector)
 
     def run(self):
-        from ..models.tracking import compute_iou
         rect_conf = [[0, 0], [0, 0], 0]
         while not self.stop_event.is_set():
             try:
@@ -484,18 +502,77 @@ class TrackerStage(Stage):
                 frame = np.repeat(frame[..., None], 3, -1)
             blank = np.zeros_like(frame)
             tracks, dets = self.tracker.step(frame)
-            for tr in tracks:
-                x1, y1, x2, y2, tid = tr.astype(int)
-                self._imaging.rectangle(blank, (x1, y1), (x2, y2),
-                                        (0, 255, 0), 2)
-                conf = 0.0
-                for det in dets:
-                    if compute_iou([x1, y1, x2, y2], det[:4]) > 0.5:
-                        conf = float(det[4])
-                        break
-                rect_conf = [[int(x1), int(y1)], [int(x2), int(y2)], conf]
+            rect_conf = _draw_tracks(self._imaging, blank, tracks, dets,
+                                     rect_conf)
             self.metric.tick(time.perf_counter() - t0)
             put_drop_oldest(self.q_inference, (frame_no, blank, rect_conf))
+
+
+class BatchedTrackerStage(Stage):
+    """Batched detector stage (the vision twin of the batched heatmap
+    stage, VERDICT round-2 #2): accumulate up to K queued camera frames,
+    run ONE batched YOLO device launch (preprocess + backbone + decode +
+    vmapped NMS — ``YoloDetector.get_detections_batch``), then step the
+    host-side SORT/hysteresis tracker per frame (O(tracks), cheap) and
+    emit every frame's overlay in order.
+
+    The single-frame :class:`TrackerStage` pays one dispatch round-trip
+    per camera frame (~15 fps through the tunnel); this stage amortizes
+    it K ways.  Partial batches are padded on-device (static shapes — no
+    recompile) and padded outputs discarded.  ``processed`` counts frames
+    through the detector; every queued frame is processed exactly once.
+    """
+
+    def __init__(self, detector, q_yolo: queue.Queue,
+                 q_inference: queue.Queue, metrics: PipelineMetrics,
+                 batch: int = 4):
+        super().__init__("tracker_batched", metrics)
+        self.q_yolo = q_yolo
+        self.q_inference = q_inference
+        self.batch = batch
+        self.detector = detector
+        self.processed = 0
+        from ..models.tracking import SmoothedTracker
+        from ..utils import imaging
+        self._imaging = imaging
+        self.tracker = SmoothedTracker(detector)
+
+    def warmup(self):
+        c = self.detector.cfg
+        zeros = [np.zeros((c.input_size, c.input_size, 3), np.uint8)]
+        self.detector.get_detections_batch(zeros, pad_to=self.batch)
+
+    def run(self):
+        rect_conf = [[0, 0], [0, 0], 0]
+        while not self.stop_event.is_set():
+            items = []
+            try:
+                items.append(self.q_yolo.get(timeout=0.5))
+            except queue.Empty:
+                continue
+            while len(items) < self.batch:
+                try:
+                    items.append(self.q_yolo.get_nowait())
+                except queue.Empty:
+                    break
+            t0 = time.perf_counter()
+            frames = []
+            for no, f in items:
+                if f.ndim == 2:
+                    f = np.repeat(f[..., None], 3, -1)
+                frames.append(f)
+            dets_per_frame = self.detector.get_detections_batch(
+                frames, conf_threshold=self.tracker.confl,
+                pad_to=self.batch)
+            self.metric.tick(time.perf_counter() - t0)
+            for (no, _), frame, dets in zip(items, frames, dets_per_frame):
+                blank = np.zeros_like(frame)
+                tracks, kept = self.tracker.step_with_detections(frame,
+                                                                 dets)
+                rect_conf = _draw_tracks(self._imaging, blank, tracks,
+                                         kept, rect_conf)
+                self.processed += 1
+                put_drop_oldest(self.q_inference, (no, blank, rect_conf))
 
 
 class Pipeline:
@@ -767,6 +844,18 @@ class Pipeline:
     def start_tracker(self, detector):
         s = TrackerStage(detector, self.q_yolo, self.q_inference,
                          self.metrics)
+        self.stages.append(s)
+        s.start()
+        return s
+
+    def start_tracker_batched(self, detector, batch: int = 4,
+                              warmup: bool = True):
+        """Batched variant of :meth:`start_tracker` — one YOLO device
+        launch per K queued camera frames."""
+        s = BatchedTrackerStage(detector, self.q_yolo, self.q_inference,
+                                self.metrics, batch=batch)
+        if warmup:
+            s.warmup()
         self.stages.append(s)
         s.start()
         return s

@@ -33,6 +33,7 @@ class YoloDetector:
             _, self.variables = init_params(self.cfg,
                                             jax.random.PRNGKey(seed))
         self._infer = jax.jit(self._forward)
+        self._infer_batch = jax.jit(self._forward_batch)
 
     # -- device program -------------------------------------------------------
 
@@ -48,7 +49,58 @@ class YoloDetector:
                                 max_det=self.max_det)
         return out, mask
 
+    def _forward_batch(self, variables, imgs_u8):
+        """(K, H, W, 3) uint8 -> ((K, max_det, 5), (K, max_det) mask) —
+        ONE device launch for the whole frame batch (backbone + decode are
+        natively batched; NMS is vmapped).  This is the detector twin of
+        the batched heatmap stage: K camera frames amortize the dispatch
+        latency the per-frame loop pays per frame."""
+        c = self.cfg
+        x = imgs_u8.astype(jnp.float32) / 255.0
+        heads = self.model.apply(variables, x, train=False)
+        boxes, obj, cls = decode_all(c, heads)
+        score = obj * jnp.max(cls, axis=-1)
+        return jax.vmap(
+            lambda b, s: nms_mod.nms(b, s,
+                                     iou_threshold=self.iou_threshold,
+                                     max_det=self.max_det))(boxes, score)
+
     # -- host API (reference parity) ------------------------------------------
+
+    def get_detections_batch(self, frames: List[np.ndarray],
+                             conf_threshold: float = 0.0,
+                             pad_to: int = 0) -> List[List[list]]:
+        """Batched ``get_detections``: one device launch for ``frames``.
+
+        ``pad_to`` > len(frames) pads the batch with zero images so the
+        jitted program keeps ONE static batch shape (padded outputs are
+        discarded) — partial camera batches don't trigger recompiles.
+        Returns per-frame detection lists in source-image pixels.
+        """
+        if not frames:
+            return []
+        c = self.cfg
+        K = max(pad_to, len(frames))
+        imgs = np.zeros((K, c.input_size, c.input_size, 3), np.uint8)
+        scales = []
+        for i, f in enumerate(frames):
+            h, w = f.shape[:2]
+            imgs[i] = _resize_u8(f, (c.input_size, c.input_size))
+            scales.append((w / c.input_size, h / c.input_size))
+        out, mask = self._infer_batch(self.variables, imgs)
+        out = np.asarray(out)
+        mask = np.asarray(mask)
+        results = []
+        for i, (sx, sy) in enumerate(scales):
+            dets = []
+            for row, ok in zip(out[i], mask[i]):
+                if not ok or row[4] < conf_threshold:
+                    continue
+                x1, y1, x2, y2, conf = row
+                dets.append([float(x1 * sx), float(y1 * sy),
+                             float(x2 * sx), float(y2 * sy), float(conf)])
+            results.append(dets)
+        return results
 
     def get_detections(self, frame: np.ndarray,
                        conf_threshold: float = 0.0) -> List[list]:

@@ -134,6 +134,12 @@ class SmoothedTracker:
         """One frame -> (tracks (K,5) [x1,y1,x2,y2,id], dets list)."""
         detections = self.detector.get_detections(
             frame, conf_threshold=self.confl)
+        return self.step_with_detections(frame, detections)
+
+    def step_with_detections(self, frame: np.ndarray, detections):
+        """The tracking half of :meth:`step`, with detections supplied by
+        the caller — the batched tracker stage runs the detector once for
+        K frames and feeds each frame's detections through here."""
         valid = [d for d in detections if d[4] > self.confh]
         candidates = [d for d in detections
                       if self.confl < d[4] <= self.confh]
