@@ -247,8 +247,11 @@ def test_web_mvdr_backend():
     import urllib.request
 
     cfg = zrt.Config.tiny().replace(udp_port=21926)
-    frames = _source_frames(cfg, 4, 3, n=200)
-    streamer.stream_in_background(cfg, frames, n_arrays=1, delay=0.3,
+    # wide replay window: the route's bring-up (pipeline + freq tables +
+    # first-jax-touch + native engine load) can take ~1 s on a loaded
+    # 1-core host, and the receiver only connects once packets overlap it
+    frames = _source_frames(cfg, 4, 3, n=3000)
+    streamer.stream_in_background(cfg, frames, n_arrays=1, delay=0.5,
                                   exact_reference=False,
                                   rate=2 * cfg.sample_rate)
     from zybo_rt_sampler_image_detection_tpu.apps.web import make_server
