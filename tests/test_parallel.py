@@ -116,3 +116,90 @@ def test_sharded_matches_single_hybrid(tiny_cfg, rng):
     got2 = np.asarray(pmesh.sharded_fused_power(m, st, tile_d=8,
                                                 chunk_b=2)(frames))
     np.testing.assert_allclose(got2, ref, rtol=1e-4, atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# Reference-shape multi-chip validation (round-3 VERDICT #3): the tiny
+# config cannot stress the per-shard chunked-T selection or the odd
+# (127) bin count's padded-bin masking — these run the real shapes.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_sharded_reference_shape_parity(rng):
+    """Data x model sharding at the TRUE reference shape (57x32 grid, 256
+    mics, lerp T=49): numerics equal to single-device, and the per-shard
+    fused selector must choose the chunked-T variant (mesh.py — a
+    reference-shape shard blows the full delay-line VMEM scratch exactly
+    like one chip does)."""
+    import zybo_rt_sampler_image_detection_tpu as zrt
+
+    cfg = zrt.Config()
+    tables = beamform.make_tables(cfg, "lerp", cache=True)
+    frames = np.stack([
+        (rng.standard_normal((cfg.n_microphones, cfg.n_samples)) * 0.05
+         ).astype(np.float32) for _ in range(2)])
+    ref = np.asarray(beamform.steered_power(frames, tables))
+
+    m = pmesh.make_mesh(2, 4)
+    st = pmesh.shard_tables(tables, m)
+    fn = pmesh.sharded_steered_power(m, st)
+    got = np.asarray(fn(frames))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-12)
+
+    # per-shard variant selection at the reference shard shape
+    # (D_loc = 1824/4 padded, T=49, M=192): must be the chunked-T kernel
+    fused = pmesh.sharded_fused_power(m, st)
+    assert fused.variant == "tchunk", fused.variant
+
+
+@pytest.mark.slow
+def test_sharded_fused_tchunk_executes_on_mesh(tiny_cfg, rng):
+    """EXECUTE the chunked-T kernel under shard_map (interpret mode): a
+    squeezed vmem budget forces the tchunk selection at the tiny shape,
+    so the per-shard t-chunk sweep + persistent beam accumulator actually
+    run on the 8-device mesh (the reference-shape code path at a
+    CPU-tractable size)."""
+    frames = np.stack([synth_frame(tiny_cfg, rng) for _ in range(4)])
+    tables = beamform.make_lerp_tables(tiny_cfg)
+    ref = np.asarray(beamform.steered_power(frames, tables))
+
+    m = pmesh.make_mesh(2, 4)
+    st = pmesh.shard_tables(tables, m)
+    fn = pmesh.sharded_fused_power(m, st, tile_d=8, chunk_b=2,
+                                   vmem_budget=64 * 1024)
+    assert fn.variant == "tchunk", fn.variant
+    got = np.asarray(fn(frames))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-10)
+
+
+@pytest.mark.slow
+def test_sharded_mvdr_real_127_bins(tiny_cfg, rng):
+    """mvdr_maps_scan sharded at the REAL reference bin count: N=256 full
+    band gives 127 bins (odd), so sharding over 8 devices pads to 128 with
+    a repeated bin — the bin-weight masking must keep the per-frame maps
+    equal to single-device."""
+    from zybo_rt_sampler_image_detection_tpu.ops import freq
+
+    cfg = tiny_cfg.replace(n_samples=256)
+    t = freq.make_freq_tables(cfg, 100.0)
+    F = t.hi - t.lo
+    assert F == 127, F                       # the reference bin count
+    frames = np.stack([
+        (rng.standard_normal((cfg.n_microphones, cfg.n_samples)) * 0.1
+         ).astype(np.float32) for _ in range(4)])
+
+    maps_ref, st_ref = freq.mvdr_maps_scan(freq.init_precision(t), frames, t)
+
+    m = pmesh.make_mesh(2, 4)
+    tp, w = pmesh.shard_freq_tables(t, m, axes=("data", "model"))
+    assert tp.phase_re.shape[0] == 128       # odd F really padded
+    sp = pmesh.shard_precision_state(freq.init_precision(tp), m)
+    maps_sh, sp2 = freq.mvdr_maps_scan(sp, frames, tp, bin_weights=w)
+    np.testing.assert_allclose(np.asarray(maps_sh), np.asarray(maps_ref),
+                               rtol=1e-4, atol=1e-9)
+    # the updated sharded state keeps matching on a second batch
+    frames2 = frames * 1.1
+    maps_ref2, _ = freq.mvdr_maps_scan(st_ref, frames2, t)
+    maps_sh2, _ = freq.mvdr_maps_scan(sp2, frames2, tp, bin_weights=w)
+    np.testing.assert_allclose(np.asarray(maps_sh2), np.asarray(maps_ref2),
+                               rtol=1e-4, atol=1e-9)

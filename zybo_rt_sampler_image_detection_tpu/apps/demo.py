@@ -358,7 +358,20 @@ def cmd_sensorfusion(args):
 
     p = _make_pipeline(args)
     p.connect()
-    p.start_heatmap()
+    if args.heatmap_batch > 1:
+        # full-rate heatmap stage publishing EVERY map to the display
+        # queue (drop-oldest keeps the viewer fed at its own pace) —
+        # the single-frame stage caps the fused rate at the ~40 ms
+        # dispatch RTT (~23 fps through the tunnel)
+        def all_maps_sink(powers, first_seq, _p=p):
+            from .pipeline import put_drop_oldest
+            for j, pw in enumerate(powers):
+                put_drop_oldest(_p.q_power, (pw, first_seq + j))
+
+        p.start_heatmap_batched(batch=args.heatmap_batch,
+                                sink=all_maps_sink)
+    else:
+        p.start_heatmap()
     if args.camera < 0:
         cam = SyntheticCamera((240, 320))
     else:
@@ -382,9 +395,14 @@ def cmd_sensorfusion(args):
     class Running:
         value = 1
 
+    t0 = time.time()
     viewer.loop(p.q_power, Running(), q_viewer=p.q_viewer,
                 q_inference=p.q_inference, max_frames=frames_wanted)
+    fused_elapsed = time.time() - t0
     p.stop()
+    print(f"fused rate: {len(disp.frames) and frames_wanted / fused_elapsed:.1f} "
+          f"fps over {frames_wanted} composited frames "
+          f"({fused_elapsed:.1f}s)")
     if args.out:
         import cv2
         h, w = disp.frames[0].shape[:2]
@@ -478,6 +496,9 @@ def main(argv=None):
     p.add_argument("--tracker-batch", type=int, default=4,
                    help="camera frames per YOLO device launch (1 = the "
                         "single-frame reference-parity loop)")
+    p.add_argument("--heatmap-batch", type=int, default=16,
+                   help="frames per heatmap device launch, all maps "
+                        "published (1 = single-frame reference loop)")
     p.add_argument("--weights", default=None, help="detector weights (.pkl)")
     p.add_argument("--out", default="sensorfusion.mp4")
     p.add_argument("--width", type=int, default=640)

@@ -80,23 +80,29 @@ def sharded_steered_power(mesh: Mesh, t: SteeringTables):
     the output all-gather.
     """
     D = t.res_x * t.res_y      # true direction count (W may be padded)
+    n_mics = t.n_mics
+    res_x, res_y = t.res_x, t.res_y
+    data = NamedSharding(mesh, P("data", None, None))
 
-    def fn(frames):
+    # tables enter the jit as ARGUMENTS (their committed shardings drive
+    # the SPMD partitioning); closing over them would bake the ~70 MB
+    # reference-shape W into the compile request — the known
+    # minutes-long-compile failure mode (see pallas_kernels
+    # FusedBeamformer / CLAUDE.md)
+    @jax.jit
+    def run(frames, t):
         beams = beamform.steered_beams(frames, t)          # (B, Dp, N)
-        beams = beams / jnp.asarray(t.n_mics, beams.dtype)
+        beams = beams / jnp.asarray(n_mics, beams.dtype)
         p = jnp.mean(beams * beams, axis=-1)[:, :D]
-        return p.reshape(frames.shape[0], t.res_x, t.res_y)
+        return p.reshape(frames.shape[0], res_x, res_y)
 
-    return jax.jit(
-        fn,
-        in_shardings=NamedSharding(mesh, P("data", None, None)),
-        out_shardings=NamedSharding(mesh, P("data", None, None)),
-    )
+    return lambda frames: run(jax.device_put(frames, data), t)
 
 
 def sharded_fused_power(mesh: Mesh, t: SteeringTables, tile_d: int = 256,
                         chunk_b: Optional[int] = None,
-                        interpret: Optional[bool] = None):
+                        interpret: Optional[bool] = None,
+                        vmem_budget: int = 28 * 1024 * 1024):
     """Multi-chip fused path: each device runs the Pallas steered-power
     kernel on its (data shard of frames) x (model shard of directions);
     XLA gathers the (B, X, Y) map at the output boundary.
@@ -128,7 +134,7 @@ def sharded_fused_power(mesh: Mesh, t: SteeringTables, tile_d: int = 256,
             np.asarray(t.Wc)[:, :D_loc], jax.devices()[0]))
     selector = pk.FusedBeamformer(
         t_loc, tile_d=min(tile_d, D_loc), chunk_b=chunk_b,
-        interpret=interpret)
+        interpret=interpret, vmem_budget=vmem_budget)
     if not selector.fits_vmem:
         # same loud-fallback contract as the single-chip path: launching
         # the full-VMEM kernel the selector just rejected would fail in
@@ -138,7 +144,9 @@ def sharded_fused_power(mesh: Mesh, t: SteeringTables, tile_d: int = 256,
             "sharded_fused_power: per-shard working set (%.1f MB) exceeds "
             "VMEM even chunked; using the XLA SPMD path",
             selector.vmem_bytes / 2**20)
-        return sharded_steered_power(mesh, t)
+        fb = sharded_steered_power(mesh, t)
+        fb.variant = "xla_spmd"
+        return fb
     meta = selector.meta
     fwd = {"tchunk": pk._fused_forward_tchunk}.get(
         selector.variant, pk._fused_forward)
@@ -163,6 +171,9 @@ def sharded_fused_power(mesh: Mesh, t: SteeringTables, tile_d: int = 256,
         flat = fn(frames, t.W, wc_arg, t.adaptive)     # (B, DP_total)
         return flat[:, :D_true].reshape(frames.shape[0], t.res_x, t.res_y)
 
+    # observability: which per-shard kernel variant the selector chose
+    # (tests assert the reference-shape shard picks the chunked-T path)
+    run.variant = selector.variant
     return run
 
 
