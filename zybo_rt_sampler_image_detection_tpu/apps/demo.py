@@ -377,7 +377,7 @@ def cmd_sensorfusion(args):
     else:
         from ..utils.viz import _CvCapture
         cam = _CvCapture(args.camera)
-    p.start_camera(cam)
+    p.start_camera(cam, fps_limit=args.camera_fps)
     det = YoloDetector(model_path=args.weights,
                        cfg=YoloConfig(input_size=224, width_mult=0.5))
     if args.tracker_batch > 1:
@@ -499,6 +499,9 @@ def main(argv=None):
     p.add_argument("--heatmap-batch", type=int, default=16,
                    help="frames per heatmap device launch, all maps "
                         "published (1 = single-frame reference loop)")
+    p.add_argument("--camera-fps", type=float, default=60.0,
+                   help="camera frame-rate cap (lower frees host CPU on "
+                        "contended single-core machines)")
     p.add_argument("--weights", default=None, help="detector weights (.pkl)")
     p.add_argument("--out", default="sensorfusion.mp4")
     p.add_argument("--width", type=int, default=640)

@@ -835,8 +835,9 @@ class Pipeline:
                 s.beam_fn.reset()          # drop warmup pollution
         return self.run_stage(s)
 
-    def start_camera(self, capture):
-        s = CameraProducer(capture, self.q_viewer, self.q_yolo, self.metrics)
+    def start_camera(self, capture, fps_limit: float = 60.0):
+        s = CameraProducer(capture, self.q_viewer, self.q_yolo,
+                           self.metrics, fps_limit=fps_limit)
         self.stages.append(s)
         s.start()
         return s

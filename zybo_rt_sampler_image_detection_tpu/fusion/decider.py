@@ -34,11 +34,17 @@ class SensorFusionDecider:
 
     def get_entropy(self, heatmap: np.ndarray) -> float:
         """decider.py:16-24: Shannon entropy of the normalized heatmap ->
-        confidence 1/(1+H)."""
-        h = np.asarray(heatmap, np.float64)
-        s = h.sum()
-        h = h / s if s > 0 else np.zeros_like(h)
-        entropy = -np.sum(h * np.log(h + 1e-12))
+        confidence 1/(1+H).  float32 math: this runs per display frame on
+        the window-sized map (~700k px) and the float64 log was the
+        single most expensive step of the whole compositing path (~10 of
+        17 ms/frame); the confidence heuristic is insensitive at 1e-6."""
+        h = np.asarray(heatmap, np.float32)
+        s = float(h.sum())
+        if s <= 0:
+            return 1.0
+        h = h * np.float32(1.0 / s)
+        entropy = -float(np.sum(h * np.log(h + np.float32(1e-12)),
+                                dtype=np.float64))
         return float(1.0 / (1.0 + entropy))
 
     def _ensure_shape(self, img: np.ndarray) -> np.ndarray:
