@@ -19,12 +19,40 @@ from typing import List, Tuple
 import numpy as np
 
 
+def _paint_object(img: np.ndarray, x1: int, y1: int, w: int, h: int,
+                  cls_id: int, color: np.ndarray) -> None:
+    """Class-distinct shapes: 0 = filled rectangle, 1 = filled ellipse,
+    2 = hollow rectangle (ring).  Shape (not just color) separates the
+    classes so a multi-class detector must actually learn appearance."""
+    patch = img[y1:y1 + h, x1:x1 + w]
+    if cls_id == 0:
+        mask = np.ones((h, w), bool)
+    elif cls_id == 1:
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+        mask = (((yy - cy) / max(cy, 1)) ** 2
+                + ((xx - cx) / max(cx, 1)) ** 2) <= 1.0
+    else:
+        mask = np.zeros((h, w), bool)
+        t = max(2, min(h, w) // 4)
+        mask[:t, :] = mask[-t:, :] = True
+        mask[:, :t] = mask[:, -t:] = True
+    patch[mask] = 0.2 * patch[mask] + 0.8 * color
+
+
 def synthetic_detection_batch(
     rng: np.random.Generator, n: int, size: int = 64,
     max_objects: int = 2, min_frac: float = 0.25, max_frac: float = 0.6,
+    num_classes: int = 1,
 ) -> Tuple[np.ndarray, List[np.ndarray]]:
     """(images (n, size, size, 3) float32 in [0,1], boxes per image
-    (k, 5) [x1, y1, x2, y2, class=0])."""
+    (k, 5) [x1, y1, x2, y2, class]).
+
+    ``num_classes`` > 1 draws class-distinct shapes (the reference
+    deployed Ultralytics-grade multi-class detection,
+    ``image-detection/src/yolo_smooth_tracking.py:9-23``; its weights
+    blob is missing upstream, so quality is gated on this exact-label
+    synthetic task instead)."""
     images = np.empty((n, size, size, 3), np.float32)
     boxes: List[np.ndarray] = []
     for i in range(n):
@@ -40,10 +68,10 @@ def synthetic_detection_batch(
             h = int(rng.uniform(min_frac, max_frac) * size)
             x1 = int(rng.integers(0, size - w))
             y1 = int(rng.integers(0, size - h))
+            cls_id = int(rng.integers(0, num_classes))
             color = rng.uniform(0.7, 1.0, 3).astype(np.float32)
-            img[y1:y1 + h, x1:x1 + w] = (
-                0.2 * img[y1:y1 + h, x1:x1 + w] + 0.8 * color)
-            bs.append([x1, y1, x1 + w, y1 + h, 0.0])
+            _paint_object(img, x1, y1, w, h, cls_id, color)
+            bs.append([x1, y1, x1 + w, y1 + h, float(cls_id)])
         images[i] = np.clip(img, 0.0, 1.0)
         boxes.append(np.asarray(bs, np.float64))
     return images, boxes

@@ -38,16 +38,18 @@ class YoloDetector:
     # -- device program -------------------------------------------------------
 
     def _forward(self, variables, img_u8):
-        """(H, W, 3) uint8 (any size, host-resized) -> (max_det, 5), mask."""
+        """(H, W, 3) uint8 (any size, host-resized) -> (max_det, 5),
+        mask, per-detection argmax class ids."""
         c = self.cfg
         x = img_u8.astype(jnp.float32) / 255.0
         heads = self.model.apply(variables, x[None], train=False)
         boxes, obj, cls = decode_all(c, heads)
         score = obj * jnp.max(cls, axis=-1)
-        out, mask = nms_mod.nms(boxes[0], score[0],
-                                iou_threshold=self.iou_threshold,
-                                max_det=self.max_det)
-        return out, mask
+        out, mask, idx = nms_mod.nms(boxes[0], score[0],
+                                     iou_threshold=self.iou_threshold,
+                                     max_det=self.max_det)
+        cls_ids = jnp.argmax(cls[0], axis=-1).astype(jnp.int32)[idx]
+        return out, mask, cls_ids
 
     def _forward_batch(self, variables, imgs_u8):
         """(K, H, W, 3) uint8 -> ((K, max_det, 5), (K, max_det) mask) —
@@ -60,22 +62,28 @@ class YoloDetector:
         heads = self.model.apply(variables, x, train=False)
         boxes, obj, cls = decode_all(c, heads)
         score = obj * jnp.max(cls, axis=-1)
-        return jax.vmap(
+        out, mask, idx = jax.vmap(
             lambda b, s: nms_mod.nms(b, s,
                                      iou_threshold=self.iou_threshold,
                                      max_det=self.max_det))(boxes, score)
+        cls_ids = jnp.take_along_axis(
+            jnp.argmax(cls, axis=-1).astype(jnp.int32), idx, axis=1)
+        return out, mask, cls_ids
 
     # -- host API (reference parity) ------------------------------------------
 
     def get_detections_batch(self, frames: List[np.ndarray],
                              conf_threshold: float = 0.0,
-                             pad_to: int = 0) -> List[List[list]]:
+                             pad_to: int = 0,
+                             include_class: bool = False
+                             ) -> List[List[list]]:
         """Batched ``get_detections``: one device launch for ``frames``.
 
         ``pad_to`` > len(frames) pads the batch with zero images so the
         jitted program keeps ONE static batch shape (padded outputs are
         discarded) — partial camera batches don't trigger recompiles.
-        Returns per-frame detection lists in source-image pixels.
+        Returns per-frame detection lists in source-image pixels;
+        ``include_class`` appends the argmax class id as a 6th column.
         """
         if not frames:
             return []
@@ -87,39 +95,45 @@ class YoloDetector:
             h, w = f.shape[:2]
             imgs[i] = _resize_u8(f, (c.input_size, c.input_size))
             scales.append((w / c.input_size, h / c.input_size))
-        out, mask = self._infer_batch(self.variables, imgs)
+        out, mask, cls_ids = self._infer_batch(self.variables, imgs)
         out = np.asarray(out)
         mask = np.asarray(mask)
+        cls_ids = np.asarray(cls_ids)
         results = []
         for i, (sx, sy) in enumerate(scales):
-            dets = []
-            for row, ok in zip(out[i], mask[i]):
-                if not ok or row[4] < conf_threshold:
-                    continue
-                x1, y1, x2, y2, conf = row
-                dets.append([float(x1 * sx), float(y1 * sy),
-                             float(x2 * sx), float(y2 * sy), float(conf)])
-            results.append(dets)
+            results.append(self._rows_to_dets(
+                out[i], mask[i], cls_ids[i], sx, sy, conf_threshold,
+                include_class))
         return results
 
-    def get_detections(self, frame: np.ndarray,
-                       conf_threshold: float = 0.0) -> List[list]:
-        """``yolo_model.get_detections`` (yolo_smooth_tracking.py:13-23)."""
-        c = self.cfg
-        h, w = frame.shape[:2]
-        img = _resize_u8(frame, (c.input_size, c.input_size))
-        out, mask = self._infer(self.variables, img)
-        out = np.asarray(out)
-        mask = np.asarray(mask)
-        sx, sy = w / c.input_size, h / c.input_size
+    @staticmethod
+    def _rows_to_dets(out, mask, cls_ids, sx, sy, conf_threshold,
+                      include_class):
         dets = []
-        for row, ok in zip(out, mask):
+        for row, ok, ci in zip(out, mask, cls_ids):
             if not ok or row[4] < conf_threshold:
                 continue
             x1, y1, x2, y2, conf = row
-            dets.append([float(x1 * sx), float(y1 * sy),
-                         float(x2 * sx), float(y2 * sy), float(conf)])
+            d = [float(x1 * sx), float(y1 * sy),
+                 float(x2 * sx), float(y2 * sy), float(conf)]
+            if include_class:
+                d.append(int(ci))
+            dets.append(d)
         return dets
+
+    def get_detections(self, frame: np.ndarray,
+                       conf_threshold: float = 0.0,
+                       include_class: bool = False) -> List[list]:
+        """``yolo_model.get_detections`` (yolo_smooth_tracking.py:13-23);
+        ``include_class`` appends the argmax class id as a 6th column."""
+        c = self.cfg
+        h, w = frame.shape[:2]
+        img = _resize_u8(frame, (c.input_size, c.input_size))
+        out, mask, cls_ids = self._infer(self.variables, img)
+        return self._rows_to_dets(
+            np.asarray(out), np.asarray(mask), np.asarray(cls_ids),
+            w / c.input_size, h / c.input_size, conf_threshold,
+            include_class)
 
 
 def _resize_u8(frame: np.ndarray, size) -> np.ndarray:

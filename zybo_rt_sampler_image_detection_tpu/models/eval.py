@@ -73,6 +73,102 @@ def average_precision(detections: Sequence[np.ndarray],
     return float(np.sum((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]))
 
 
+def per_class_average_precision(detections: Sequence[np.ndarray],
+                                ground_truths: Sequence[np.ndarray],
+                                num_classes: int,
+                                iou_threshold: float = 0.5):
+    """Per-class AP@iou + mean AP.
+
+    detections: per image (k, 6) [x1,y1,x2,y2,conf,cls];
+    ground_truths: per image (m, 5) [x1,y1,x2,y2,cls].
+    Returns (aps list of len num_classes — nan where the class has no
+    ground truth, mAP over present classes).
+    """
+    aps = []
+    for c in range(num_classes):
+        dets_c, gts_c = [], []
+        n_gt = 0
+        for dets, gts in zip(detections, ground_truths):
+            dets = np.asarray(dets, np.float64).reshape(-1, 6) \
+                if len(dets) else np.zeros((0, 6))
+            gts = np.asarray(gts, np.float64).reshape(-1, 5) \
+                if len(gts) else np.zeros((0, 5))
+            dc = dets[dets[:, 5] == c][:, :5]
+            gc = gts[gts[:, 4] == c][:, :4]
+            n_gt += len(gc)
+            dets_c.append(dc)
+            gts_c.append(gc)
+        aps.append(average_precision(dets_c, gts_c, iou_threshold)
+                   if n_gt else float("nan"))
+    present = [a for a in aps if not np.isnan(a)]
+    return aps, float(np.mean(present)) if present else 0.0
+
+
+def mota(gt_sequences: Sequence[Sequence[np.ndarray]],
+         track_sequences: Sequence[Sequence[np.ndarray]],
+         iou_threshold: float = 0.5):
+    """CLEAR-MOT Multiple Object Tracking Accuracy over sequences.
+
+    gt_sequences: per sequence, per frame (m, 5) [x1,y1,x2,y2,gt_id];
+    track_sequences: per sequence, per frame (k, 5) [x1,y1,x2,y2,track_id]
+    (the :class:`~.tracking.SmoothedTracker` ``step`` output shape).
+
+    ``MOTA = 1 - (misses + false_positives + id_switches) / n_gt``,
+    with greedy IoU matching that prefers keeping the previous frame's
+    gt->track assignment (the standard CLEAR-MOT matching step).
+    Returns (mota, dict of counts).
+    """
+    misses = fps = idsw = n_gt = 0
+    for gts_seq, trs_seq in zip(gt_sequences, track_sequences):
+        last_match = {}                       # gt_id -> track_id
+        for gts, trs in zip(gts_seq, trs_seq):
+            gts = np.asarray(gts, np.float64).reshape(-1, 5) \
+                if len(gts) else np.zeros((0, 5))
+            trs = np.asarray(trs, np.float64).reshape(-1, 5) \
+                if len(trs) else np.zeros((0, 5))
+            n_gt += len(gts)
+            if len(gts) == 0:
+                fps += len(trs)
+                continue
+            if len(trs) == 0:
+                misses += len(gts)
+                continue
+            iou = box_iou(gts[:, :4], trs[:, :4])
+            taken_t = np.zeros(len(trs), bool)
+            matched_g = np.zeros(len(gts), bool)
+            matches = {}
+            # 1) keep surviving (gt, track) pairs from the last frame
+            for gi, g in enumerate(gts):
+                prev_tid = last_match.get(int(g[4]))
+                if prev_tid is None:
+                    continue
+                tj = np.where(trs[:, 4] == prev_tid)[0]
+                if len(tj) and not taken_t[tj[0]] \
+                        and iou[gi, tj[0]] >= iou_threshold:
+                    matches[int(g[4])] = int(prev_tid)
+                    taken_t[tj[0]] = True
+                    matched_g[gi] = True
+            # 2) greedy IoU for the rest
+            pairs = [(iou[gi, tj], gi, tj)
+                     for gi in range(len(gts)) if not matched_g[gi]
+                     for tj in range(len(trs)) if not taken_t[tj]]
+            for v, gi, tj in sorted(pairs, reverse=True):
+                if v < iou_threshold or matched_g[gi] or taken_t[tj]:
+                    continue
+                gid, tid = int(gts[gi, 4]), int(trs[tj, 4])
+                if gid in last_match and last_match[gid] != tid:
+                    idsw += 1
+                matches[gid] = tid
+                matched_g[gi] = True
+                taken_t[tj] = True
+            misses += int((~matched_g).sum())
+            fps += int((~taken_t).sum())
+            last_match.update(matches)
+    value = 1.0 - (misses + fps + idsw) / max(n_gt, 1)
+    return value, {"misses": misses, "false_positives": fps,
+                   "id_switches": idsw, "n_gt": n_gt}
+
+
 def evaluate_detector(detector, images: np.ndarray,
                       boxes: List[np.ndarray],
                       conf_threshold: float = 0.05,

@@ -31,11 +31,13 @@ def iou_matrix(a: jax.Array, b: jax.Array) -> jax.Array:
 def nms(boxes: jax.Array, scores: jax.Array, iou_threshold: float = 0.45,
         score_threshold: float = 0.0, max_det: int = 32):
     """(N, 4) boxes + (N,) scores -> (max_det, 5) [x1,y1,x2,y2,score],
-    zero-padded; plus a (max_det,) validity mask."""
+    zero-padded; a (max_det,) validity mask; and the (max_det,) int32
+    source indices of the kept boxes (for gathering per-anchor side data
+    like the argmax class — zero where invalid)."""
     scores = jnp.where(scores >= score_threshold, scores, -1.0)
 
     def body(i, carry):
-        scores_live, out, mask = carry
+        scores_live, out, mask, idx = carry
         j = jnp.argmax(scores_live)
         best = scores_live[j]
         valid = best > 0.0
@@ -44,17 +46,19 @@ def nms(boxes: jax.Array, scores: jax.Array, iou_threshold: float = 0.45,
                                       jnp.concatenate([box, best[None]]),
                                       jnp.zeros(5, jnp.float32)))
         mask = mask.at[i].set(valid)
+        idx = idx.at[i].set(jnp.where(valid, j.astype(jnp.int32), 0))
         ious = iou_matrix(box[None], boxes)[0]
         suppress = (ious > iou_threshold) | \
             (jnp.arange(scores_live.shape[0]) == j)
         scores_live = jnp.where(valid & suppress, -1.0, scores_live)
-        return scores_live, out, mask
+        return scores_live, out, mask, idx
 
     out0 = jnp.zeros((max_det, 5), jnp.float32)
     mask0 = jnp.zeros((max_det,), bool)
-    _, out, mask = jax.lax.fori_loop(0, max_det, body,
-                                     (scores.astype(jnp.float32), out0, mask0))
-    return out, mask
+    idx0 = jnp.zeros((max_det,), jnp.int32)
+    _, out, mask, idx = jax.lax.fori_loop(
+        0, max_det, body, (scores.astype(jnp.float32), out0, mask0, idx0))
+    return out, mask, idx
 
 
 @partial(jax.jit, static_argnames=("max_det",))
