@@ -33,17 +33,42 @@ def main() -> None:
     frames_dev = jax.device_put(rng.standard_normal(
         (B, cfg0.n_microphones, cfg0.n_samples)).astype(np.float32))
 
-    def timed(fn, n_iter=12):
-        # Sync with a 4-byte host read: on this backend block_until_ready
-        # can acknowledge before execution finishes for small programs, and
-        # a full-output transfer would time the tunnel, not the chip.
-        np.asarray(fn(frames_dev)[0, 0, 0])          # compile + warm
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(n_iter):
-            out = fn(frames_dev)
-        np.asarray(out[0, 0, 0])
-        return (B * n_iter) / (time.perf_counter() - t0)
+    spreads = {}
+
+    def _steal_ticks():
+        try:
+            with open("/proc/stat") as f:
+                return int(f.readline().split()[8])
+        except (OSError, IndexError, ValueError):
+            return 0
+
+    def timed_batched(fn, frames, nb, n_iter, key=None, repeats=3):
+        """Median rate over ``repeats`` runs (+ relative spread recorded in
+        ``spreads`` — a wide spread flags host/tunnel contention, which a
+        single-shot number cannot distinguish from a regression).
+
+        Sync with a 4-byte host read: on this backend block_until_ready
+        can acknowledge before execution finishes for small programs, and
+        a full-output transfer would time the tunnel, not the chip."""
+        np.asarray(fn(frames)[0, 0, 0])              # compile + warm
+        rates = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(n_iter):
+                out = fn(frames)
+            np.asarray(out[0, 0, 0])
+            rates.append((nb * n_iter) / (time.perf_counter() - t0))
+        rates.sort()
+        med = rates[len(rates) // 2]
+        if key is not None:
+            spreads[key] = round((rates[-1] - rates[0]) / med, 3)
+        return med
+
+    def timed(fn, n_iter=12, key=None):
+        return timed_batched(fn, frames_dev, B, n_iter, key=key)
+
+    steal0 = _steal_ticks()
 
     ladder = {}
     # "highest": bit-level f32 (the exactness-gate mode); "high": 3-pass
@@ -60,12 +85,13 @@ def main() -> None:
         cfg = cfg0.replace(**kw)
         tables = beamform.make_tables(cfg, "lerp", cache=False)
         xla_rate = timed(jax.jit(
-            lambda f, t=tables: beamform.steered_power(f, t)))
+            lambda f, t=tables: beamform.steered_power(f, t)),
+            key=f"{name}_xla")
         ladder[f"{name}_xla"] = xla_rate
         best = xla_rate
         fused = FusedBeamformer(tables)
         if fused.fits_vmem:
-            best = max(best, timed(fused._call))
+            best = max(best, timed(fused._call, key=name))
         ladder[name] = best
 
     # -- per-algorithm rows (round 2): every beamformer at "high", the
@@ -89,24 +115,29 @@ def main() -> None:
         (B_ref, ref_cfg.n_microphones, ref_cfg.n_samples)).astype(np.float32))
     t_ref = beamform.make_tables(ref_cfg, "lerp", cache=True)
 
-    def timed_ref(fn, n_iter=8):
-        np.asarray(fn(frames_ref)[0, 0, 0])
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(n_iter):
-            out = fn(frames_ref)
-        np.asarray(out[0, 0, 0])
-        return (B_ref * n_iter) / (time.perf_counter() - t0)
+    def timed_ref(fn, n_iter=8, key=None):
+        return timed_batched(fn, frames_ref, B_ref, n_iter, key=key)
 
     # NOTE: steered_power/fft_steered_power are already jitted with the
     # tables as pytree ARGUMENTS — wrapping them in another jit(lambda)
     # would bake the ~100 MB reference tables into the compile request
     # (the remote compile service rejects it with HTTP 413).
     ladder["lerp_reference_shape_57x32_256ch"] = timed_ref(
-        lambda f: beamform.steered_power(f, t_ref))
+        lambda f: beamform.steered_power(f, t_ref),
+        key="lerp_reference_shape_57x32_256ch")
     fused_ref = FusedBeamformer(t_ref)
     if fused_ref.fits_vmem:
-        ladder["lerp_reference_shape_fused"] = timed_ref(fused_ref._call)
+        ladder["lerp_reference_shape_fused"] = timed_ref(
+            fused_ref._call, key="lerp_reference_shape_fused")
+
+    # EXACT frequency-domain reformulation (ops/freq_equiv): same output
+    # as the time-domain lerp to f32 rounding, no T axis in the per-frame
+    # contraction — the fastest exact path at the reference shape
+    from zybo_rt_sampler_image_detection_tpu.ops import freq_equiv
+    et_ref = freq_equiv.make_equiv_tables(t_ref)
+    ladder["lerp_reference_shape_equiv_exact"] = timed_ref(
+        lambda f: freq_equiv.equiv_steered_power(f, et_ref),
+        key="lerp_reference_shape_equiv_exact")
 
     from zybo_rt_sampler_image_detection_tpu.ops import freq
     ft = freq.make_freq_tables(ref_cfg, 100.0)
@@ -124,18 +155,27 @@ def main() -> None:
             return s2, freq.mvdr_power_precision(s2, t)
         return jax.lax.scan(step, st, frames)
 
+    def timed_stateful(step_fn, st0, n_frames, iters=4, key=None,
+                       repeats=3):
+        st, maps = step_fn(st0)                      # compile + warm
+        np.asarray(maps.ravel()[0])
+        rates = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                st, maps = step_fn(st)
+            np.asarray(maps.ravel()[0])
+            rates.append((n_frames * iters) / (time.perf_counter() - t0))
+        rates.sort()
+        if key is not None:
+            spreads[key] = round((rates[-1] - rates[0]) / rates[1], 3)
+        return rates[len(rates) // 2]
+
     K = 8
     fr_small = jax.device_put(np.asarray(frames_ref[:K]))
-    st = freq.init_precision(ft)
-    st, maps = mvdr_scan(st, fr_small, ft)
-    np.asarray(maps.ravel()[0])
-    t0 = time.perf_counter()
-    iters = 4
-    for _ in range(iters):
-        st, maps = mvdr_scan(st, fr_small, ft)
-    np.asarray(maps.ravel()[0])
-    ladder["mvdr_rls_per_frame_reference_shape"] = \
-        (K * iters) / (time.perf_counter() - t0)
+    ladder["mvdr_rls_per_frame_reference_shape"] = timed_stateful(
+        lambda s: mvdr_scan(s, fr_small, ft), freq.init_precision(ft), K,
+        key="mvdr_rls_per_frame_reference_shape")
 
     # subspace-recursive scan: EXACT per-frame Capon maps + one rank-B
     # Woodbury state update per block (the sequential recursion is
@@ -143,15 +183,10 @@ def main() -> None:
     # quadratic form per frame)
     K2 = 64
     fr_blk = jax.device_put(np.asarray(frames_ref[:K2]))
-    st = freq.init_precision(ft)
-    maps, st = freq.mvdr_maps_scan(st, fr_blk, ft)
-    np.asarray(maps.ravel()[0])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        maps, st = freq.mvdr_maps_scan(st, fr_blk, ft)
-    np.asarray(maps.ravel()[0])
-    ladder["mvdr_exact_per_frame_maps_reference_shape"] = \
-        (K2 * iters) / (time.perf_counter() - t0)
+    ladder["mvdr_exact_per_frame_maps_reference_shape"] = timed_stateful(
+        lambda s: freq.mvdr_maps_scan(s, fr_blk, ft)[::-1],
+        freq.init_precision(ft), K2,
+        key="mvdr_exact_per_frame_maps_reference_shape")
 
     value = ladder["high"]
     print(json.dumps({
@@ -160,9 +195,12 @@ def main() -> None:
         "unit": "heatmaps/s",
         "vs_baseline": round(value / 1000.0, 3),
     }))
+    steal = _steal_ticks() - steal0
     print(f"# ladder: { {k: round(v, 1) for k, v in ladder.items()} } "
           f"(headline=high precision, fused 3-pass rel err ~5e-06 vs exact "
           f"f32) backend={jax.default_backend()}", file=sys.stderr)
+    print(f"# medians of 3 repeats; rel spreads: {spreads}; "
+          f"host steal ticks during run: {steal}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -41,6 +41,10 @@ def _add_common(p):
                         "reference (+ dead-mic list), fft (the web "
                         "backend-3 profile: 13x13, c=343, 4 arrays, "
                         "0-18 kHz, camera offset)")
+    p.add_argument("--equiv", action="store_true",
+                   help="exact frequency-domain reformulation of the "
+                        "selected time-domain algorithm (~15x fewer MACs "
+                        "at the reference shape, same output)")
 
 
 def _make_pipeline(args, audio_sink="null", audio_path=None,
@@ -96,7 +100,10 @@ def _make_pipeline(args, audio_sink="null", audio_path=None,
     return Pipeline(cfg, algorithm=algorithm, replay_mode=args.replay,
                     backend=args.backend, audio_sink=audio_sink,
                     audio_path=audio_path, power_fn=power_fn,
-                    ring_frames=ring_frames)
+                    ring_frames=ring_frames,
+                    power_backend=("freq_equiv"
+                                   if getattr(args, "equiv", False)
+                                   else "auto"))
 
 
 def cmd_mimo(args):

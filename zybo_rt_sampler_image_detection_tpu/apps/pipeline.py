@@ -582,10 +582,24 @@ class Pipeline:
     def __init__(self, cfg: Optional[Config] = None, algorithm: str = "lerp",
                  replay_mode: bool = False, backend: str = "auto",
                  audio_sink: str = "null", audio_path: Optional[str] = None,
-                 power_fn=None, ring_frames: int = 64):
+                 power_fn=None, ring_frames: int = 64,
+                 power_backend: str = "auto"):
         self.cfg = cfg or Config()
         self.metrics = PipelineMetrics()
         self.tables = beamform.make_tables(self.cfg, algorithm)
+        if power_fn is None and power_backend == "freq_equiv":
+            # opt-in EXACT frequency-domain reformulation of the selected
+            # time-domain algorithm (ops/freq_equiv): same output to f32
+            # rounding, ~15x fewer MACs at the reference shape (no T axis
+            # in the per-frame contraction).  Opt-in because its (D, M, F)
+            # response tables are ~6x the time-domain W (549 MB at the
+            # reference shape).
+            from ..ops import freq_equiv
+
+            et = freq_equiv.make_equiv_tables(self.tables)
+            power_fn = lambda f: freq_equiv.equiv_steered_power(f, et)  # noqa: E731
+        elif power_backend not in ("auto", "freq_equiv"):
+            raise ValueError(f"unknown power backend {power_backend!r}")
         self.receiver = Receiver(self.cfg, replay_mode=replay_mode,
                                  backend=backend, ring_frames=ring_frames)
         self.q_power: queue.Queue = queue.Queue(maxsize=2)

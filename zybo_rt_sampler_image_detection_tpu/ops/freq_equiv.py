@@ -1,0 +1,185 @@
+"""Exact frequency-domain reformulation of the time-domain beamformers.
+
+The time-domain family computes, per direction d and mic m, a short FIR
+``w[d, m, :]`` at integer shifts (``beamform.SteeringTables``) and then a
+(D, T*M) x (T*M, B*N) contraction — ~9 GFLOP/frame at the reference shape
+(``pad_and_sum.c:114-142`` semantics).  But a delay-as-phase-multiply
+needs no T axis (cf. the reference's own FFT backend,
+``PC/application/realtime_scripts/beam_forming_algorithm.py:50-70``):
+with the per-(d, m) frequency response
+
+    H[d, m, f] = sum_t W[d, t, m] * exp(-j w_f (tau_min + t))
+
+the steered spectrum is ``B[d, f] = sum_m H[d, m, f] S[m, f]`` — a
+(D, M) x (M, F) contraction per bin, ~15x fewer MACs at the reference
+shape.  Three correction terms make the power EXACTLY the C output
+(not an approximation):
+
+* the DFT runs on a zero-padded window L = N + T so circular = linear
+  convolution (no wrap);
+* Parseval gives the beam's power over ALL L linear-convolution outputs;
+  the C keeps only the first N, so the power of the **tail** samples
+  (n in [N, L), reconstructed by a small band-limited inverse-DFT
+  matmul) is subtracted;
+* the C loops cut a handful of head products (the boundary corrections
+  the time path subtracts from its first Tc columns,
+  ``beamform._build_corrections``): with correction values
+  ``v[d, b, p]`` (the same Wc einsum) and head beam samples
+  ``beam[d, b, p]`` (another small inverse-DFT matmul),
+  ``||beam - v||^2 = ||beam||^2 - 2<beam, v> + ||v||^2`` restores the
+  corrected power without ever materializing the (D, N) beams.
+
+Exactness is gated in tests against ``beamform.steered_power`` for every
+algorithm (pad / lerp / convolve / hybrid / truncated).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .beamform import SteeringTables
+
+_PREC = {"highest": jax.lax.Precision.HIGHEST,
+         "high": jax.lax.Precision.HIGH,
+         "default": jax.lax.Precision.DEFAULT}
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EquivFreqTables:
+    """Frequency responses + DFT bases for the exact freq-domain power."""
+
+    H_re: jax.Array             # (D, M, F)
+    H_im: jax.Array             # (D, M, F)
+    dft_re: jax.Array           # (N, F) — rfft basis over the L-padded window
+    dft_im: jax.Array           # (N, F)   (only the N signal rows; rest 0)
+    itail_re: jax.Array         # (F, Ttail) — beam samples at n in [N, L)
+    itail_im: jax.Array         # (F, Ttail)
+    ihead_re: Optional[jax.Array]   # (F, Tc) — beam samples at n in [0, Tc)
+    ihead_im: Optional[jax.Array]
+    cf: jax.Array               # (F,) Parseval weights (c_f / L)
+    Wc: Optional[jax.Array]     # boundary-correction tensor (from tables)
+    adaptive: jax.Array         # (M,) int32
+    corr_js: tuple = dataclasses.field(metadata=dict(static=True))
+    precision: str = dataclasses.field(metadata=dict(static=True))
+    n_samples: int = dataclasses.field(metadata=dict(static=True))
+    res_x: int = dataclasses.field(metadata=dict(static=True))
+    res_y: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_mics(self) -> int:
+        return self.H_re.shape[1]
+
+
+@partial(jax.jit, static_argnames=("tau_min", "L"))
+def _build_H(W: jax.Array, tau_min: int, L: int):
+    """(D, T, M) taps -> (D, M, F) frequency responses over the L-window.
+
+    Built on device (the reference-shape H is ~2 x 550 MB; einsum once at
+    table build, W enters as an argument)."""
+    D, T, M = W.shape
+    F = L // 2 + 1
+    w = 2.0 * np.pi * np.arange(F) / L
+    t = tau_min + np.arange(T)
+    ang = -np.outer(t, w)                              # (T, F)
+    basis_re = jnp.asarray(np.cos(ang), jnp.float32)
+    basis_im = jnp.asarray(np.sin(ang), jnp.float32)
+    Wf = W.astype(jnp.float32)
+    H_re = jnp.einsum("dtm,tf->dmf", Wf, basis_re,
+                      precision=jax.lax.Precision.HIGHEST)
+    H_im = jnp.einsum("dtm,tf->dmf", Wf, basis_im,
+                      precision=jax.lax.Precision.HIGHEST)
+    return H_re, H_im
+
+
+def make_equiv_tables(t: SteeringTables) -> EquivFreqTables:
+    """Build the exact frequency-domain twin of time-domain tables."""
+    D, T, M = t.W.shape
+    N = t.n_samples
+    # L covers every positive shift's spill AND wraps negative shifts'
+    # spill into the same tail window without collision
+    L = N + T + max(0, -t.tau_min) + 1
+    F = L // 2 + 1
+    f = np.arange(F)
+    w = 2.0 * np.pi * f / L
+
+    n = np.arange(N)[:, None]
+    ang = -n * w[None, :]
+    dft_re = np.cos(ang).astype(np.float32)
+    dft_im = np.sin(ang).astype(np.float32)
+
+    cf = np.where((f == 0) | ((L % 2 == 0) & (f == L // 2)), 1.0, 2.0) / L
+
+    def inv_basis(positions):
+        # x[n] = sum_f c_f (re cos(wn) - im sin(wn)) / L for rfft halves
+        iang = np.outer(w, positions)                  # (F, P)
+        ire = (cf[:, None] * np.cos(iang)).astype(np.float32)
+        iim = (-cf[:, None] * np.sin(iang)).astype(np.float32)
+        return ire, iim
+
+    itail_re, itail_im = inv_basis(np.arange(N, L))
+    if t.Wc is not None:
+        Tc = t.Wc.shape[2]
+        ihead_re, ihead_im = inv_basis(np.arange(Tc))
+        ihead_re = jnp.asarray(ihead_re)
+        ihead_im = jnp.asarray(ihead_im)
+        Wc = jnp.asarray(t.Wc, jnp.float32)
+    else:
+        ihead_re = ihead_im = Wc = None
+
+    H_re, H_im = _build_H(jnp.asarray(t.W), t.tau_min, L)
+    return EquivFreqTables(
+        H_re=H_re, H_im=H_im,
+        dft_re=jnp.asarray(dft_re), dft_im=jnp.asarray(dft_im),
+        itail_re=jnp.asarray(itail_re), itail_im=jnp.asarray(itail_im),
+        ihead_re=ihead_re, ihead_im=ihead_im,
+        cf=jnp.asarray(cf, jnp.float32), Wc=Wc,
+        adaptive=t.adaptive,
+        corr_js=t.corr_js, precision=t.precision,
+        n_samples=N, res_x=t.res_x, res_y=t.res_y)
+
+
+@jax.jit
+def equiv_steered_power(signals: jax.Array, t: EquivFreqTables) -> jax.Array:
+    """EXACT time-domain-equivalent steered power, (B, X, Y) or (X, Y):
+    matches ``beamform.steered_power`` bit-comparably (f32 reassociation
+    tolerance) at ~15x fewer MACs at the reference shape."""
+    squeeze = signals.ndim == 2
+    if squeeze:
+        signals = signals[None]
+    prec = _PREC[t.precision]
+    M = t.n_mics
+    N = t.n_samples
+    s = signals[:, t.adaptive, :].astype(jnp.float32)   # (B, M, N)
+    # rfft over the L-padded window (zero rows carry no terms)
+    sr = jnp.einsum("bmn,nf->bmf", s, t.dft_re, precision=_PREC["highest"])
+    si = jnp.einsum("bmn,nf->bmf", s, t.dft_im, precision=_PREC["highest"])
+    # steered spectra B[d, f] = sum_m H S
+    Br = (jnp.einsum("dmf,bmf->bdf", t.H_re, sr, precision=prec)
+          - jnp.einsum("dmf,bmf->bdf", t.H_im, si, precision=prec))
+    Bi = (jnp.einsum("dmf,bmf->bdf", t.H_re, si, precision=prec)
+          + jnp.einsum("dmf,bmf->bdf", t.H_im, sr, precision=prec))
+    # Parseval: sum_{n<L} beam^2 = sum_f c_f |B_f|^2 / L
+    total = jnp.einsum("bdf,f->bd", Br * Br + Bi * Bi, t.cf,
+                       precision=_PREC["highest"])
+    # subtract the tail samples the C output never had
+    tail = (jnp.einsum("bdf,ft->bdt", Br, t.itail_re, precision=prec)
+            + jnp.einsum("bdf,ft->bdt", Bi, t.itail_im, precision=prec))
+    total = total - jnp.sum(tail * tail, axis=-1)
+    if t.Wc is not None:
+        # boundary corrections: ||beam - v||^2 over the first Tc columns
+        head = (jnp.einsum("bdf,ft->bdt", Br, t.ihead_re, precision=prec)
+                + jnp.einsum("bdf,ft->bdt", Bi, t.ihead_im, precision=prec))
+        sj = jnp.stack([s[:, :, j] for j in t.corr_js], axis=1)  # (B, J, M)
+        v = jnp.einsum("jdtm,bjm->bdt", t.Wc, sj,
+                       precision=_PREC["highest"])
+        total = total + jnp.sum(v * v - 2.0 * head * v, axis=-1)
+    inv = 1.0 / (np.float32(N) * np.float32(M) * np.float32(M))
+    power = (total * inv).reshape(-1, t.res_x, t.res_y)
+    return power[0] if squeeze else power
