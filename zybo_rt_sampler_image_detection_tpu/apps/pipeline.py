@@ -246,10 +246,14 @@ class BatchedHeatmapProducer(BatchedStage):
                 if f.fits_vmem:
                     fused = f
 
-            # tables enter as a pytree ARGUMENT (constants would bloat the
-            # compile request — see pallas_kernels.FusedBeamformer)
+            # tables (prepped weight planes for the fused path) enter
+            # as ARGUMENTS (constants would bloat the compile request —
+            # see pallas_kernels.FusedBeamformer)
+            prepped = (None, None) if fused is None \
+                else (fused.Wp, fused.corr_w)
+
             @partial(jax.jit, donate_argnums=donate)
-            def _power(frames, t):
+            def _power(frames, t, wp, cw):
                 # channel-sliced transfers are padded back to the full
                 # mic axis on device (the tail rows are always zero);
                 # f16-transfer batches upcast here
@@ -259,10 +263,12 @@ class BatchedHeatmapProducer(BatchedStage):
                     frames = jax.numpy.pad(frames,
                                            ((0, 0), (0, pad), (0, 0)))
                 if fused is not None:
-                    return fused._forward(frames, t.W, t.Wc, t.adaptive)
+                    return fused._forward_prepped(frames, wp, cw,
+                                                  t.adaptive)
                 return beamform.steered_power(frames, t)
 
-            power_fn = lambda frames: _power(frames, tables)  # noqa: E731
+            power_fn = lambda frames: _power(  # noqa: E731
+                frames, tables, *prepped)
         elif channels and channels < receiver.cfg.n_microphones:
             # custom power_fn (fft/mvdr backends) with channel-sliced
             # transfers: pad the tail mic rows back before calling it —
@@ -773,20 +779,24 @@ class Pipeline:
                 if f.fits_vmem:
                     fused = f
 
+            prepped = (None, None) if fused is None \
+                else (fused.Wp, fused.corr_w)
+
             @partial(jax.jit, donate_argnums=donate)
-            def _both(frames, t, d):
+            def _both(frames, t, d, wp, cw):
                 frames = frames.astype(jax.numpy.float32)
                 pad = n_full - frames.shape[1]
                 if pad > 0:
                     frames = jax.numpy.pad(frames,
                                            ((0, 0), (0, pad), (0, 0)))
                 if fused is not None:
-                    p = fused._forward(frames, t.W, t.Wc, t.adaptive)
+                    p = fused._forward_prepped(frames, wp, cw, t.adaptive)
                 else:
                     p = beamform.steered_power(frames, t)
                 return p, beamform.miso_beam(frames, t, d)
 
-            process_fn = lambda f, d: _both(f, tables, d)  # noqa: E731
+            process_fn = lambda f, d: _both(  # noqa: E731
+                f, tables, d, *prepped)
             n = tables.n_mics
             post_fn = lambda b: audio_mod.miso_gain(       # noqa: E731
                 b, n, cfg.mic_gain, cfg.norm_factor_sound)

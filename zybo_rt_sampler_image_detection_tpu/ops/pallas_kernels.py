@@ -439,13 +439,33 @@ class _Meta:
         self.bases = bases
 
 
-def _prep_corr(sf, Wc, m, BP, Bc, D, M):
+def _prep_corr_weights(Wc, m, D, M):
+    """The W-side (signal-independent) half of :func:`_prep_corr`: the
+    padded/transposed correction weights in matmul-ready layout.
+    Precomputable once per table set (``FusedBeamformer`` caches it on
+    device and passes it as a jit ARGUMENT — the per-call transpose of
+    the multi-MB tensor was pure prologue)."""
+    if Wc is None:
+        return None
+    J = Wc.shape[0]
+    if m.swap:
+        Tc = Wc.shape[2]
+        wcp = jnp.pad(Wc.astype(jnp.float32),
+                      ((0, 0), (0, m.DP - D), (0, m.cc - Tc), (0, 0)))
+        return wcp.transpose(0, 3, 2, 1).reshape(J * M, m.cc * m.DP)
+    return jnp.pad(Wc.astype(jnp.float32),
+                   ((0, 0), (0, m.DP - D), (0, 0), (0, 0)))
+
+
+def _prep_corr(sf, Wc, m, BP, Bc, D, M, corr_w=None):
     """Boundary corrections in the kernel layout: (C, Bc, cc, DP) when the
     swapped contraction is active, (C, DP, Bc, cc) otherwise."""
-    if Wc is None:
+    if Wc is None and corr_w is None:
         shape = ((BP // Bc, Bc, m.cc, m.DP) if m.swap
                  else (BP // Bc, m.DP, Bc, m.cc))
         return jnp.zeros(shape, jnp.float32)
+    if corr_w is None:
+        corr_w = _prep_corr_weights(Wc, m, D, M)
     sj = jnp.stack([sf[:, :, j].astype(jnp.float32)
                     for j in m.corr_js], axis=1)           # (BP, J, M)
     J = len(m.corr_js)
@@ -455,29 +475,48 @@ def _prep_corr(sf, Wc, m, BP, Bc, D, M):
         # transpose.  The einsum formulation produced the (C, Bc, cc, DP)
         # tensor through a layout-hostile batched contraction that ran at
         # ~34 GB/s (~40% of the whole fused path's prologue).
-        Tc = Wc.shape[2]
-        wcp = jnp.pad(Wc.astype(jnp.float32),
-                      ((0, 0), (0, m.DP - D), (0, m.cc - Tc), (0, 0)))
-        wct = wcp.transpose(0, 3, 2, 1).reshape(J * M, m.cc * m.DP)
-        corr = jnp.dot(sj.reshape(BP, J * M), wct,
+        corr = jnp.dot(sj.reshape(BP, J * M), corr_w,
                        precision=m.lax_precision)
         return corr.reshape(BP // Bc, Bc, m.cc, m.DP)
     sjc = sj.reshape(BP // Bc, Bc, J, M)
-    wcp = jnp.pad(Wc.astype(jnp.float32),
-                  ((0, 0), (0, m.DP - D), (0, 0), (0, 0)))
-    corr = jnp.einsum("jdtm,cbjm->cdbt", wcp, sjc,
+    corr = jnp.einsum("jdtm,cbjm->cdbt", corr_w, sjc,
                       precision=m.lax_precision)
     return jnp.pad(corr, ((0, 0), (0, 0), (0, 0),
                           (0, m.cc - corr.shape[-1])))
 
 
-def _fused_forward(signals, W3, Wc, adaptive, meta):
+def _prep_weights_full(W3, m):
+    """(D, T, M) -> (P, DP, T*M) padded plane(s) for the full variant."""
+    wf = jnp.pad(W3, ((0, m.DP - m.D), (0, 0), (0, 0))).reshape(
+        m.DP, m.T * m.M)
+    if m.three_pass:
+        hi, lo = _split_bf16(wf.astype(jnp.float32))
+        return jnp.stack([hi, lo])
+    return wf.astype(m.plane_dtype)[None]
+
+
+def _prep_weights_tchunk(W3, m):
+    """(D, T, M) -> (P, DP, TP*M) padded plane(s) for the chunked-T
+    variant (taps padded to a t_chunk multiple)."""
+    TP = m.t_chunk * m.n_tc
+    wf = jnp.pad(W3, ((0, m.DP - m.D), (0, TP - m.T), (0, 0))).reshape(
+        m.DP, TP * m.M)
+    if m.three_pass:
+        hi, lo = _split_bf16(wf.astype(jnp.float32))
+        return jnp.stack([hi, lo])
+    return wf.astype(m.plane_dtype)[None]
+
+
+def _fused_forward(signals, W3, Wc, adaptive, meta, Wp=None, corr_w=None):
     """Trace-functional fused steered power.
 
     signals: (B, channels, N); W3: (D, T, M); Wc: (J, D, Tc, M) or None;
     adaptive: (M,) int32.  Returns flat power (B, D) float32.  All array
-    arguments may be tracers (shard_map-compatible); weight prep (pad,
-    reshape, plane split) is jnp and constant-folds when W3 is a constant.
+    arguments may be tracers (shard_map-compatible).  ``Wp``/``corr_w``
+    (from :func:`_prep_weights_full` / :func:`_prep_corr_weights`) skip
+    the per-call weight prep — ``FusedBeamformer`` precomputes them once
+    and passes them as jit arguments; callers handing raw ``W3`` (the
+    sharded path) pay the elementwise prep in-trace instead.
     """
     m = meta
     B = signals.shape[0]
@@ -489,15 +528,15 @@ def _fused_forward(signals, W3, Wc, adaptive, meta):
                                 signals.dtype)], axis=0)
     BP = signals.shape[0]
 
-    # weights: pad direction axis, flatten taps, split bf16 planes
-    wf = jnp.pad(W3, ((0, m.DP - D), (0, 0), (0, 0))).reshape(m.DP, T * M)
-    if m.three_pass:
-        hi, lo = _split_bf16(wf.astype(jnp.float32))
-        Wp = jnp.stack([hi, lo])
-    else:
-        Wp = wf.astype(m.plane_dtype)[None]
+    if Wp is None:
+        # weights: pad direction axis, flatten taps, split bf16 planes
+        Wp = _prep_weights_full(W3, m)
 
-    sf = signals[:, adaptive, :]                          # (BP, M, N)
+    # adaptive=None: the active-mic set is statically the identity (all
+    # channels connected, e.g. the northstar config) — passing the index
+    # vector as a traced argument forces XLA to execute a real dynamic
+    # gather of the whole signal batch for nothing
+    sf = signals if adaptive is None else signals[:, adaptive, :]
     if m.three_pass:
         hi, lo = _split_bf16(sf.astype(jnp.float32))
         s = jnp.stack([hi, lo], axis=1)                   # (BP, P, M, N)
@@ -507,7 +546,7 @@ def _fused_forward(signals, W3, Wc, adaptive, meta):
     s_chunks = s.reshape(BP // Bc, Bc, P, M, N)
 
     # narrow dense corrections in the kernel layout
-    corr = _prep_corr(sf, Wc, m, BP, Bc, D, M)
+    corr = _prep_corr(sf, Wc, m, BP, Bc, D, M, corr_w=corr_w)
 
     grid = (BP // Bc, m.DP // m.tile_d)
     kernel = functools.partial(
@@ -640,7 +679,8 @@ def _fused_forward_window(signals, W3, Wc, adaptive, meta):
     return power.reshape(BP, m.DP)[:B, :D]
 
 
-def _fused_forward_tchunk(signals, W3, Wc, adaptive, meta):
+def _fused_forward_tchunk(signals, W3, Wc, adaptive, meta, Wp=None,
+                          corr_w=None):
     """Chunked-T fused steered power (see _power_kernel_tchunk)."""
     m = meta
     B = signals.shape[0]
@@ -654,22 +694,17 @@ def _fused_forward_tchunk(signals, W3, Wc, adaptive, meta):
                                 signals.dtype)], axis=0)
     BP = signals.shape[0]
 
-    wf = jnp.pad(W3, ((0, m.DP - D), (0, TP - T), (0, 0)))
-    wf = wf.reshape(m.DP, TP * M)
-    if m.three_pass:
-        hi, lo = _split_bf16(wf.astype(jnp.float32))
-        Wp = jnp.stack([hi, lo])
-    else:
-        Wp = wf.astype(m.plane_dtype)[None]
+    if Wp is None:
+        Wp = _prep_weights_tchunk(W3, m)
 
-    sf = signals[:, adaptive, :]
+    sf = signals if adaptive is None else signals[:, adaptive, :]
     # signal chunks stay f32 (dynamic rotate is 32-bit only on Mosaic) in
     # natural frame order; the kernel stages the delay-line column layout
     # and derives the plane dtype(s) after the roll
     s = sf.astype(jnp.float32)[:, None]
     s_chunks = s.reshape(BP // Bc, Bc, 1, M, N)
 
-    corr = _prep_corr(sf, Wc, m, BP, Bc, D, M)
+    corr = _prep_corr(sf, Wc, m, BP, Bc, D, M, corr_w=corr_w)
 
     grid = (BP // Bc, n_tc, m.DP // m.tile_d)
     kernel = functools.partial(
@@ -853,12 +888,30 @@ class FusedBeamformer:
         # Tables enter the jit as ARGUMENTS, not closure constants: baking
         # the reference-shape W (~91 MB f32) into the program as a
         # constant inflates the compile request to ~180 MB and blows the
-        # (remote) compile time from seconds to tens of minutes.  The
-        # per-call weight prep this costs is O(|W|) elementwise — <1% of a
-        # batch.
-        self._jit = jax.jit(self._forward)
-        self._call = lambda signals: self._jit(
-            signals, self.t.W, self.t.Wc, self.t.adaptive)
+        # (remote) compile time from seconds to tens of minutes.  Round 3:
+        # the signal-independent weight prep (pad + plane split of W, the
+        # correction-weight transpose) is precomputed ONCE here as device
+        # arrays and passed as jit arguments — it was re-running every
+        # call (~14% of the bf16 path end-to-end; BENCHMARKS.md).
+        if self.variant in ("full", "tchunk"):
+            prep = (_prep_weights_tchunk if self.variant == "tchunk"
+                    else _prep_weights_full)
+            self.Wp = prep(jnp.asarray(t.W), self.meta)
+            self.corr_w = _prep_corr_weights(
+                t.Wc, self.meta, self.meta.D, self.meta.M)
+            # identity active-mic set -> skip the gather statically (the
+            # caller must then hand exactly M channel rows)
+            adp = np.asarray(t.adaptive)
+            self._adaptive = (None if np.array_equal(
+                adp, np.arange(self.M)) else self.t.adaptive)
+            self._jit = jax.jit(self._forward_prepped)
+            self._call = lambda signals: self._jit(
+                signals, self.Wp, self.corr_w, self._adaptive)
+        else:
+            self.Wp = self.corr_w = None
+            self._jit = jax.jit(self._forward)
+            self._call = lambda signals: self._jit(
+                signals, self.t.W, self.t.Wc, self.t.adaptive)
 
     def _plan_window(self, t: SteeringTables, interpret: bool,
                      vmem_budget: int) -> bool:
@@ -908,6 +961,8 @@ class FusedBeamformer:
 
     def _forward(self, signals: jax.Array, W: jax.Array,
                  Wc: Optional[jax.Array], adaptive: jax.Array) -> jax.Array:
+        """Raw-tables entry (shard_map / external-jit callers): per-call
+        weight prep in-trace."""
         t = self.t
         squeeze = signals.ndim == 2
         if squeeze:
@@ -916,6 +971,26 @@ class FusedBeamformer:
                "window": _fused_forward_window}.get(
             self.variant, _fused_forward)
         power = fwd(signals, W, Wc, adaptive, self.meta)
+        power = power.reshape(signals.shape[0], t.res_x, t.res_y)
+        return power[0] if squeeze else power
+
+    def _forward_prepped(self, signals: jax.Array, Wp, corr_w,
+                         adaptive: jax.Array) -> jax.Array:
+        """Prepped-weights entry (full/tchunk variants): the precomputed
+        plane(s) + correction weights enter as jit arguments — no
+        per-call weight prep."""
+        t = self.t
+        squeeze = signals.ndim == 2
+        if squeeze:
+            signals = signals[None]
+        if adaptive is None and signals.shape[1] != self.M:
+            # identity fast path needs exactly the M connected rows;
+            # wider inputs (full 256-channel frames) slice statically
+            signals = signals[:, :self.M, :]
+        fwd = (_fused_forward_tchunk if self.variant == "tchunk"
+               else _fused_forward)
+        power = fwd(signals, None, None, adaptive, self.meta,
+                    Wp=Wp, corr_w=corr_w)
         power = power.reshape(signals.shape[0], t.res_x, t.res_y)
         return power[0] if squeeze else power
 
