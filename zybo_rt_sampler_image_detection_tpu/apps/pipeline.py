@@ -57,16 +57,46 @@ def put_drop_oldest(q: queue.Queue, item) -> bool:
             return False
 
 
+def _equiv_tables_if_favored(tables):
+    """The exact frequency-domain reformulation (``ops.freq_equiv``) when
+    its MAC advantage over the time-domain contraction is decisive.
+
+    Per direction the time path costs ~T*M*N MACs, the equiv path ~4*M*F
+    (F = padded rfft bins) — the ratio scales with the delay spread T.
+    Measured: reference shape (T=49) ratio ~20x -> 20.4k vs 3.7k
+    heatmaps/s; northstar (short T) ratio ~5x only TIES the fused kernel,
+    so the bar is ratio > 8.  The (D, M, F) response planes cost ~6x W in
+    HBM (549 MB at the reference shape) — capped at ~1.2 GB.
+    Returns the equiv tables or None."""
+    D, T, M = tables.W.shape
+    N = tables.n_samples
+    L = N + T + max(0, -tables.tau_min) + 1
+    F = L // 2 + 1
+    if T * N <= 8 * 4 * F or 2 * D * M * F * 4 > 1.2e9:
+        return None
+    from ..ops import freq_equiv
+
+    return freq_equiv.make_equiv_tables(tables)
+
+
 def default_power_fn(tables):
     """Production policy for the heatmap stages' device program:
 
+    * large delay spreads (the reference shape) -> the EXACT
+      frequency-domain reformulation (5.6x the fused kernel there,
+      bit-comparable output — BENCHMARKS.md round 3);
     * ``high`` / ``bf16`` rungs on TPU -> the fused Pallas kernel (faster
-      AND more accurate than XLA's native HIGH — BENCHMARKS.md);
+      AND more accurate than XLA's native HIGH);
     * ``highest`` (the bit-level reference-exactness mode) or non-TPU
       backends (where the kernel would run in slow interpret mode) ->
       the exact XLA formulation.
     """
     if tables.precision != "highest" and jax.default_backend() == "tpu":
+        et = _equiv_tables_if_favored(tables)
+        if et is not None:
+            from ..ops import freq_equiv
+
+            return lambda f: freq_equiv.equiv_steered_power(f, et)
         from ..ops.pallas_kernels import FusedBeamformer
 
         fused = FusedBeamformer(tables)
@@ -238,13 +268,16 @@ class BatchedHeatmapProducer(BatchedStage):
             donate = (0,) if jax.default_backend() != "cpu" else ()
             n_full = receiver.cfg.n_microphones
             fused = None
+            equiv = None
             if tables.precision != "highest" \
                     and jax.default_backend() == "tpu":
-                from ..ops.pallas_kernels import FusedBeamformer
+                equiv = _equiv_tables_if_favored(tables)
+                if equiv is None:
+                    from ..ops.pallas_kernels import FusedBeamformer
 
-                f = FusedBeamformer(tables)
-                if f.fits_vmem:
-                    fused = f
+                    f = FusedBeamformer(tables)
+                    if f.fits_vmem:
+                        fused = f
 
             # tables (prepped weight planes for the fused path) enter
             # as ARGUMENTS (constants would bloat the compile request —
@@ -262,13 +295,17 @@ class BatchedHeatmapProducer(BatchedStage):
                 if pad > 0:
                     frames = jax.numpy.pad(frames,
                                            ((0, 0), (0, pad), (0, 0)))
+                if equiv is not None:
+                    from ..ops import freq_equiv
+
+                    return freq_equiv.equiv_steered_power(frames, t)
                 if fused is not None:
                     return fused._forward_prepped(frames, wp, cw,
                                                   t.adaptive)
                 return beamform.steered_power(frames, t)
 
             power_fn = lambda frames: _power(  # noqa: E731
-                frames, tables, *prepped)
+                frames, equiv if equiv is not None else tables, *prepped)
         elif channels and channels < receiver.cfg.n_microphones:
             # custom power_fn (fft/mvdr backends) with channel-sliced
             # transfers: pad the tail mic rows back before calling it —
@@ -771,32 +808,39 @@ class Pipeline:
         if beam == "time":
             tables = self.tables
             fused = None
+            equiv = None
             if tables.precision != "highest" \
                     and jax.default_backend() == "tpu":
-                from ..ops.pallas_kernels import FusedBeamformer
+                equiv = _equiv_tables_if_favored(tables)
+                if equiv is None:
+                    from ..ops.pallas_kernels import FusedBeamformer
 
-                f = FusedBeamformer(tables)
-                if f.fits_vmem:
-                    fused = f
+                    f = FusedBeamformer(tables)
+                    if f.fits_vmem:
+                        fused = f
 
             prepped = (None, None) if fused is None \
                 else (fused.Wp, fused.corr_w)
 
             @partial(jax.jit, donate_argnums=donate)
-            def _both(frames, t, d, wp, cw):
+            def _both(frames, t, et, d, wp, cw):
                 frames = frames.astype(jax.numpy.float32)
                 pad = n_full - frames.shape[1]
                 if pad > 0:
                     frames = jax.numpy.pad(frames,
                                            ((0, 0), (0, pad), (0, 0)))
-                if fused is not None:
+                if et is not None:
+                    from ..ops import freq_equiv
+
+                    p = freq_equiv.equiv_steered_power(frames, et)
+                elif fused is not None:
                     p = fused._forward_prepped(frames, wp, cw, t.adaptive)
                 else:
                     p = beamform.steered_power(frames, t)
                 return p, beamform.miso_beam(frames, t, d)
 
             process_fn = lambda f, d: _both(  # noqa: E731
-                f, tables, d, *prepped)
+                f, tables, equiv, d, *prepped)
             n = tables.n_mics
             post_fn = lambda b: audio_mod.miso_gain(       # noqa: E731
                 b, n, cfg.mic_gain, cfg.norm_factor_sound)
