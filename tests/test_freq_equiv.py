@@ -48,6 +48,36 @@ def test_equiv_pipeline_backend(tiny_cfg):
         Pipeline(tiny_cfg, power_backend="nope")
 
 
+def test_equiv_auto_select_decision(tiny_cfg, monkeypatch):
+    """The pipeline auto-selects freq_equiv only at decisive delay-spread
+    MAC ratios (reference shape yes, short-T shapes no) and under the
+    HBM cap for the stacked response planes."""
+    from zybo_rt_sampler_image_detection_tpu.apps import pipeline
+
+    sentinel = object()
+    monkeypatch.setattr(
+        "zybo_rt_sampler_image_detection_tpu.ops.freq_equiv"
+        ".make_equiv_tables", lambda t: sentinel)
+
+    class FakeTables:
+        def __init__(self, D, T, M, N, tau_min=0):
+            import numpy as _np
+
+            self.W = _np.zeros((D, T, M), _np.float32)
+            self.n_samples = N
+            self.tau_min = tau_min
+
+    # reference-like: T=49, N=256 -> ratio ~20x, 862 MB planes -> selected
+    assert pipeline._equiv_tables_if_favored(
+        FakeTables(1824, 49, 256, 256)) is sentinel
+    # short delay spread (northstar-like): ratio below the bar -> None
+    assert pipeline._equiv_tables_if_favored(
+        FakeTables(4225, 8, 64, 256)) is None
+    # decisive ratio but stacked planes exceed the HBM cap -> None
+    assert pipeline._equiv_tables_if_favored(
+        FakeTables(40000, 49, 512, 256)) is None
+
+
 @pytest.mark.slow
 def test_equiv_power_reference_shape():
     """Exactness holds at the true reference shape (57x32, 256 mics,

@@ -65,14 +65,15 @@ def _equiv_tables_if_favored(tables):
     (F = padded rfft bins) — the ratio scales with the delay spread T.
     Measured: reference shape (T=49) ratio ~20x -> 20.4k vs 3.7k
     heatmaps/s; northstar (short T) ratio ~5x only TIES the fused kernel,
-    so the bar is ratio > 8.  The (D, M, F) response planes cost ~6x W in
-    HBM (549 MB at the reference shape) — capped at ~1.2 GB.
+    so the bar is ratio > 8.  The stacked (D, 2M, F) response planes cost
+    ~12x W in HBM (862 MB at the reference shape) — capped at ~2.4 GB
+    (the same decision boundary as before the stacking).
     Returns the equiv tables or None."""
     D, T, M = tables.W.shape
     N = tables.n_samples
     L = N + T + max(0, -tables.tau_min) + 1
     F = L // 2 + 1
-    if T * N <= 8 * 4 * F or 2 * D * M * F * 4 > 1.2e9:
+    if T * N <= 8 * 4 * F or 16 * D * M * F > 2.4e9:
         return None
     from ..ops import freq_equiv
 

