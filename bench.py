@@ -94,6 +94,19 @@ def main() -> None:
             best = max(best, timed(fused._call, key=name))
         ladder[name] = best
 
+    # production "high" path (pipeline.default_power_fn): the EXACT
+    # frequency-domain reformulation — the stacked-plane (K=2M)
+    # contraction beats the fused kernel at every measured shape at this
+    # rung (BENCHMARKS.md round 3), with exact-f32-class output (~2e-6).
+    from zybo_rt_sampler_image_detection_tpu.ops import freq_equiv
+    et_ns = freq_equiv.make_equiv_tables(beamform.make_tables(
+        cfg0.replace(matmul_precision="high"), "lerp", cache=False))
+    ladder["high_equiv_exact"] = timed(
+        lambda f: freq_equiv.equiv_steered_power(f, et_ns),
+        key="high_equiv_exact")
+    ladder["high"] = max(ladder["high"], ladder["high_equiv_exact"])
+    del et_ns
+
     # -- per-algorithm rows (round 2): every beamformer at "high", the
     # reference shape, the FFT backend, and real-time (RLS) MVDR ----------
     cfg_hi = cfg0.replace(matmul_precision="high")
@@ -133,7 +146,6 @@ def main() -> None:
     # EXACT frequency-domain reformulation (ops/freq_equiv): same output
     # as the time-domain lerp to f32 rounding, no T axis in the per-frame
     # contraction — the fastest exact path at the reference shape
-    from zybo_rt_sampler_image_detection_tpu.ops import freq_equiv
     et_ref = freq_equiv.make_equiv_tables(t_ref)
     ladder["lerp_reference_shape_equiv_exact"] = timed_ref(
         lambda f: freq_equiv.equiv_steered_power(f, et_ref),
@@ -197,8 +209,9 @@ def main() -> None:
     }))
     steal = _steal_ticks() - steal0
     print(f"# ladder: { {k: round(v, 1) for k, v in ladder.items()} } "
-          f"(headline=high precision, fused 3-pass rel err ~5e-06 vs exact "
-          f"f32) backend={jax.default_backend()}", file=sys.stderr)
+          f"(headline=high precision, best of fused 3-pass ~5e-06 / "
+          f"freq-equiv exact ~2e-06 rel err vs exact f32) "
+          f"backend={jax.default_backend()}", file=sys.stderr)
     print(f"# medians of 3 repeats; rel spreads: {spreads}; "
           f"host steal ticks during run: {steal}", file=sys.stderr)
 

@@ -49,9 +49,10 @@ def test_equiv_pipeline_backend(tiny_cfg):
 
 
 def test_equiv_auto_select_decision(tiny_cfg, monkeypatch):
-    """The pipeline auto-selects freq_equiv only at decisive delay-spread
-    MAC ratios (reference shape yes, short-T shapes no) and under the
-    HBM cap for the stacked response planes."""
+    """The pipeline auto-selects freq_equiv for ``high`` tables whenever
+    the MAC ratio clears the (low) bar and the stacked response planes
+    fit the HBM cap; bf16 ('default') and 'highest' rungs never select
+    it (fused kernel / bit-level XLA path respectively)."""
     from zybo_rt_sampler_image_detection_tpu.apps import pipeline
 
     sentinel = object()
@@ -60,19 +61,29 @@ def test_equiv_auto_select_decision(tiny_cfg, monkeypatch):
         ".make_equiv_tables", lambda t: sentinel)
 
     class FakeTables:
-        def __init__(self, D, T, M, N, tau_min=0):
+        def __init__(self, D, T, M, N, tau_min=0, precision="high"):
             import numpy as _np
 
             self.W = _np.zeros((D, T, M), _np.float32)
             self.n_samples = N
             self.tau_min = tau_min
+            self.precision = precision
 
     # reference-like: T=49, N=256 -> ratio ~20x, 862 MB planes -> selected
     assert pipeline._equiv_tables_if_favored(
         FakeTables(1824, 49, 256, 256)) is sentinel
-    # short delay spread (northstar-like): ratio below the bar -> None
+    # northstar-like short spread: ratio ~3.9x still clears the bar
     assert pipeline._equiv_tables_if_favored(
-        FakeTables(4225, 8, 64, 256)) is None
+        FakeTables(4225, 8, 64, 256)) is sentinel
+    # bf16 rung (precision 'default') -> fused kernel wins -> None
+    assert pipeline._equiv_tables_if_favored(
+        FakeTables(4225, 8, 64, 256, precision="default")) is None
+    # bit-level exactness mode -> None
+    assert pipeline._equiv_tables_if_favored(
+        FakeTables(1824, 49, 256, 256, precision="highest")) is None
+    # degenerate single-tap spread: ratio below the bar -> None
+    assert pipeline._equiv_tables_if_favored(
+        FakeTables(4225, 1, 64, 256)) is None
     # decisive ratio but stacked planes exceed the HBM cap -> None
     assert pipeline._equiv_tables_if_favored(
         FakeTables(40000, 49, 512, 256)) is None

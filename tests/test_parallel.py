@@ -48,6 +48,32 @@ def test_sharded_fused_matches_single(tiny_cfg, rng, shape):
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-10)
 
 
+@pytest.mark.parametrize("shape", [(4, 2), (2, 4)])
+def test_sharded_equiv_matches_single(tiny_cfg, rng, shape):
+    """The exact frequency-domain reformulation (the production ``high``
+    path) sharded data x model — direction-padded stacked planes, sliced
+    before the reshape — must equal the single-device time-domain exact
+    path."""
+    from zybo_rt_sampler_image_detection_tpu.ops import freq_equiv
+
+    n_data, n_model = shape
+    frames = np.stack([synth_frame(tiny_cfg, rng) for _ in range(8)])
+    tables = beamform.make_lerp_tables(tiny_cfg)
+    ref = np.asarray(beamform.steered_power(frames, tables))
+
+    et = freq_equiv.make_equiv_tables(tables)
+    m = pmesh.make_mesh(n_data, n_model)
+    # tiny grid D is not a multiple of 4 -> the zero-pad path engages
+    set_ = pmesh.shard_equiv_tables(et, m)
+    assert set_.Hs1.shape[0] % n_model == 0
+    fn = pmesh.sharded_equiv_power(m, set_)
+    got = np.asarray(fn(frames))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-8)
+    # and matches the single-device equiv path up to reassociation
+    single = np.asarray(freq_equiv.equiv_steered_power(frames, et))
+    np.testing.assert_allclose(got, single, rtol=1e-5, atol=1e-9)
+
+
 def test_sharded_fft_power_matches_single(tiny_cfg, rng):
     """Frequency bins sharded over ``model`` (with repeat-padding + zero
     weights masking the duplicates) must reproduce the single-device

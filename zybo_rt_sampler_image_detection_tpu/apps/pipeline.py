@@ -59,21 +59,26 @@ def put_drop_oldest(q: queue.Queue, item) -> bool:
 
 def _equiv_tables_if_favored(tables):
     """The exact frequency-domain reformulation (``ops.freq_equiv``) when
-    its MAC advantage over the time-domain contraction is decisive.
+    it beats the fused Pallas kernel at the tables' accuracy rung.
 
     Per direction the time path costs ~T*M*N MACs, the equiv path ~4*M*F
     (F = padded rfft bins) — the ratio scales with the delay spread T.
-    Measured: reference shape (T=49) ratio ~20x -> 20.4k vs 3.7k
-    heatmaps/s; northstar (short T) ratio ~5x only TIES the fused kernel,
-    so the bar is ratio > 8.  The stacked (D, 2M, F) response planes cost
-    ~12x W in HBM (862 MB at the reference shape) — capped at ~2.4 GB
-    (the same decision boundary as before the stacking).
-    Returns the equiv tables or None."""
+    Since the stacked-plane contraction (K=2M fills the MXU even at small
+    mic counts) the equiv path wins at ``high`` for every measured shape:
+    reference (T=49, ratio ~20x) 20.8k vs 3.7k fused; northstar (T=8,
+    ratio ~3.9x) 31.4k vs 19.1k fused.  At the bf16 rung
+    (precision='default') the fused kernel still wins (45.2k vs 36.4k) and
+    at ``highest`` the XLA path keeps the bit-level exactness contract, so
+    only ``high`` tables select the equiv path; the bar ratio > 2 excludes
+    degenerate single-tap spreads.  The stacked (D, 2M, F) response planes
+    cost ~12x W in HBM (862 MB at the reference shape) — capped at
+    ~2.4 GB.  Returns the equiv tables or None."""
     D, T, M = tables.W.shape
     N = tables.n_samples
     L = N + T + max(0, -tables.tau_min) + 1
     F = L // 2 + 1
-    if T * N <= 8 * 4 * F or 16 * D * M * F > 2.4e9:
+    if tables.precision != "high" or T * N <= 2 * 4 * F \
+            or 16 * D * M * F > 2.4e9:
         return None
     from ..ops import freq_equiv
 
@@ -83,11 +88,12 @@ def _equiv_tables_if_favored(tables):
 def default_power_fn(tables):
     """Production policy for the heatmap stages' device program:
 
-    * large delay spreads (the reference shape) -> the EXACT
-      frequency-domain reformulation (5.6x the fused kernel there,
-      bit-comparable output — BENCHMARKS.md round 3);
-    * ``high`` / ``bf16`` rungs on TPU -> the fused Pallas kernel (faster
-      AND more accurate than XLA's native HIGH);
+    * ``high`` rung on TPU -> the EXACT frequency-domain reformulation
+      (faster than the fused kernel at every measured shape since the
+      stacked-plane contraction, with exact-f32-class output —
+      BENCHMARKS.md round 3);
+    * ``bf16`` rung on TPU -> the fused Pallas kernel (45.2k vs the equiv
+      path's 36.4k at northstar);
     * ``highest`` (the bit-level reference-exactness mode) or non-TPU
       backends (where the kernel would run in slow interpret mode) ->
       the exact XLA formulation.

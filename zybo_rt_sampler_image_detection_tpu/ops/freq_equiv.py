@@ -158,13 +158,13 @@ def make_equiv_tables(t: SteeringTables) -> EquivFreqTables:
 
 
 @jax.jit
-def equiv_steered_power(signals: jax.Array, t: EquivFreqTables) -> jax.Array:
-    """EXACT time-domain-equivalent steered power, (B, X, Y) or (X, Y):
-    matches ``beamform.steered_power`` bit-comparably (f32 reassociation
-    tolerance) at ~15x fewer MACs at the reference shape."""
-    squeeze = signals.ndim == 2
-    if squeeze:
-        signals = signals[None]
+def equiv_power_flat(signals: jax.Array, t: EquivFreqTables) -> jax.Array:
+    """Un-reshaped steered power, (B, D) with D = ``Hs1.shape[0]``.
+
+    The direction axis stays flat so a model-sharded caller
+    (``parallel.mesh.sharded_equiv_power``) can slice padding off before
+    the (X, Y) reshape; :func:`equiv_steered_power` is the single-chip
+    wrapper."""
     prec = _PREC[t.precision]
     M = t.n_mics
     N = t.n_samples
@@ -194,5 +194,16 @@ def equiv_steered_power(signals: jax.Array, t: EquivFreqTables) -> jax.Array:
                        precision=_PREC["highest"])
         total = total + jnp.sum(v * v - 2.0 * head * v, axis=-1)
     inv = 1.0 / (np.float32(N) * np.float32(M) * np.float32(M))
-    power = (total * inv).reshape(-1, t.res_x, t.res_y)
+    return total * inv
+
+
+@jax.jit
+def equiv_steered_power(signals: jax.Array, t: EquivFreqTables) -> jax.Array:
+    """EXACT time-domain-equivalent steered power, (B, X, Y) or (X, Y):
+    matches ``beamform.steered_power`` bit-comparably (f32 reassociation
+    tolerance) at ~15x fewer MACs at the reference shape."""
+    squeeze = signals.ndim == 2
+    if squeeze:
+        signals = signals[None]
+    power = equiv_power_flat(signals, t).reshape(-1, t.res_x, t.res_y)
     return power[0] if squeeze else power

@@ -177,6 +177,70 @@ def sharded_fused_power(mesh: Mesh, t: SteeringTables, tile_d: int = 256,
     return run
 
 
+def shard_equiv_tables(et, mesh: Mesh):
+    """Lay :class:`~..ops.freq_equiv.EquivFreqTables` out for the mesh:
+    the direction axis of the stacked response planes (and of the
+    boundary-correction tensor) splits over ``model``, zero-padded to a
+    device multiple (padded directions produce zero power and are sliced
+    off before the reshape); the small DFT bases replicate.
+
+    This is the production ``high``-rung path
+    (``apps.pipeline.default_power_fn``), so it gets the same multi-chip
+    treatment as the time-domain tables."""
+    n_model = mesh.shape["model"]
+    D = et.Hs1.shape[0]
+    if D % n_model:
+        pad = n_model - D % n_model
+
+        def padd(x, axis):
+            shape = list(x.shape)
+            shape[axis] = pad
+            return jnp.concatenate(
+                [x, jnp.zeros(shape, x.dtype)], axis=axis)
+
+        et = dataclasses.replace(
+            et,
+            Hs1=padd(et.Hs1, 0), Hs2=padd(et.Hs2, 0),
+            Wc=None if et.Wc is None else padd(et.Wc, 1))
+
+    def put(x, spec):
+        return None if x is None else jax.device_put(
+            x, NamedSharding(mesh, spec))
+
+    return dataclasses.replace(
+        et,
+        Hs1=put(et.Hs1, P("model", None, None)),
+        Hs2=put(et.Hs2, P("model", None, None)),
+        Wc=put(et.Wc, P(None, "model", None, None)),
+        dft_re=put(et.dft_re, P()), dft_im=put(et.dft_im, P()),
+        ib_re=put(et.ib_re, P()), ib_im=put(et.ib_im, P()),
+        cf=put(et.cf, P()), adaptive=put(et.adaptive, P()))
+
+
+def sharded_equiv_power(mesh: Mesh, et):
+    """pjit'd EXACT frequency-domain heatmap (the production ``high``
+    path): frames shard over ``data``, the direction axis of the stacked
+    response planes over ``model`` (driven by the tables' committed
+    shardings from :func:`shard_equiv_tables`); XLA inserts the output
+    all-gather when the padded flat map is sliced and reshaped.
+
+    Returns ``fn(frames (B, channels, N)) -> (B, X, Y)``."""
+    from ..ops import freq_equiv
+
+    D_true = et.res_x * et.res_y
+    res_x, res_y = et.res_x, et.res_y
+    data = NamedSharding(mesh, P("data", None, None))
+
+    # tables enter the jit as ARGUMENTS (committed shardings drive SPMD;
+    # reference-shape planes are ~860 MB — never closure constants)
+    @jax.jit
+    def run(frames, et):
+        flat = freq_equiv.equiv_power_flat(frames, et)     # (B, Dp)
+        return flat[:, :D_true].reshape(frames.shape[0], res_x, res_y)
+
+    return lambda frames: run(jax.device_put(frames, data), et)
+
+
 # ---------------------------------------------------------------------------
 # Frequency-domain sharding: the bin axis is embarrassingly parallel
 # ---------------------------------------------------------------------------
