@@ -1,0 +1,91 @@
+"""The fused Pallas equiv kernel (ops/equiv_kernel) must reproduce the
+XLA exact frequency-domain path — and therefore the time-domain family —
+at its accuracy rung, for every algorithm.  CPU runs use interpret mode
+(same numerics, no Mosaic)."""
+
+import numpy as np
+import pytest
+
+from zybo_rt_sampler_image_detection_tpu.ops import (
+    beamform, equiv_kernel, freq_equiv)
+
+from conftest import synth_frame
+
+
+ALGORITHMS = ("pad", "lerp", "convolve", "hybrid", "truncated")
+
+
+@pytest.mark.parametrize("algorithm", ALGORITHMS)
+def test_kernel_matches_time_domain_high(tiny_cfg, rng, algorithm):
+    """3-pass 'high' mode: ~1e-5 class vs the bit-comparable f32 paths."""
+    frames = np.stack([synth_frame(tiny_cfg, rng) for _ in range(3)])
+    t = beamform.make_tables(tiny_cfg, algorithm, cache=False)
+    ref = np.asarray(beamform.steered_power(frames, t), np.float64)
+    fused = equiv_kernel.FusedEquivBeamformer(t, mode="high")
+    got = np.asarray(fused(frames), np.float64)
+    np.testing.assert_allclose(got, ref, rtol=5e-5, atol=1e-12)
+
+
+def test_kernel_f32_mode_most_accurate(tiny_cfg, rng):
+    """'f32' mode (HIGHEST planes) lands within f32-reassociation
+    distance of the exact XLA equiv path."""
+    frames = np.stack([synth_frame(tiny_cfg, rng) for _ in range(3)])
+    t = beamform.make_tables(tiny_cfg, "lerp", cache=False)
+    et = freq_equiv.make_equiv_tables(t)
+    ref = np.asarray(freq_equiv.equiv_steered_power(frames, et), np.float64)
+    fused = equiv_kernel.FusedEquivBeamformer(t, mode="f32")
+    got = np.asarray(fused(frames), np.float64)
+    np.testing.assert_allclose(got, ref, rtol=2e-6, atol=1e-14)
+
+
+def test_kernel_bf16_mode_display_grade(tiny_cfg, rng):
+    frames = np.stack([synth_frame(tiny_cfg, rng) for _ in range(3)])
+    t = beamform.make_tables(tiny_cfg, "lerp", cache=False)
+    ref = np.asarray(beamform.steered_power(frames, t), np.float64)
+    fused = equiv_kernel.FusedEquivBeamformer(t, mode="bf16")
+    got = np.asarray(fused(frames), np.float64)
+    np.testing.assert_allclose(got, ref, rtol=3e-2, atol=1e-10)
+    # and the peak pixel must agree (display contract)
+    for b in range(len(frames)):
+        assert np.unravel_index(got[b].argmax(), got[b].shape) \
+            == np.unravel_index(ref[b].argmax(), ref[b].shape)
+
+
+def test_kernel_batch_padding_and_squeeze(tiny_cfg, rng):
+    """Batch sizes that don't divide the chunk pad with zero frames and
+    slice back; 2-D input squeezes."""
+    t = beamform.make_tables(tiny_cfg, "lerp", cache=False)
+    fused = equiv_kernel.FusedEquivBeamformer(t, mode="high")
+    frames = np.stack([synth_frame(tiny_cfg, rng) for _ in range(5)])
+    got = np.asarray(fused(frames))
+    assert got.shape == (5, tiny_cfg.max_res_x, tiny_cfg.max_res_y)
+    one = np.asarray(fused(frames[0]))
+    assert one.shape == (tiny_cfg.max_res_x, tiny_cfg.max_res_y)
+    np.testing.assert_allclose(one, got[0], rtol=1e-6, atol=1e-12)
+
+
+def test_kernel_default_mode_follows_tables(tiny_cfg):
+    t_hi = beamform.make_tables(
+        tiny_cfg.replace(matmul_precision="high"), "lerp", cache=False)
+    assert equiv_kernel.FusedEquivBeamformer(t_hi).mode == "high"
+    t_ho = beamform.make_tables(
+        tiny_cfg.replace(matmul_precision="highest"), "lerp", cache=False)
+    assert equiv_kernel.FusedEquivBeamformer(t_ho).mode == "f32"
+    t_bf = beamform.make_tables(
+        tiny_cfg.replace(matmul_precision="default",
+                         matmul_dtype="bfloat16"), "lerp", cache=False)
+    assert equiv_kernel.FusedEquivBeamformer(t_bf).mode == "bf16"
+
+
+def test_kernel_vmem_plan_chunks_frequencies():
+    """The auto-planner must fall back to frequency chunking (and
+    smaller frame chunks) for reference-scale shapes instead of blowing
+    VMEM."""
+    import zybo_rt_sampler_image_detection_tpu as zrt
+
+    cfg = zrt.Config().replace(matmul_precision="high")
+    t = beamform.make_tables(cfg, "lerp", cache=True)
+    fused = equiv_kernel.FusedEquivBeamformer(t, mode="high")
+    assert fused.vmem_bytes < 100 * 1024 * 1024
+    assert fused.FP % fused.fc_len == 0
+    assert fused.FP >= fused.F
