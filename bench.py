@@ -107,6 +107,23 @@ def main() -> None:
     ladder["high"] = max(ladder["high"], ladder["high_equiv_exact"])
     del et_ns
 
+    # fused equiv KERNEL (ops/equiv_kernel): spectra stay in VMEM — the
+    # production default at northstar-class shapes ('high': 2M <= 256)
+    # and at the bf16 rung everywhere (pipeline._equiv_kernel_if_favored)
+    from zybo_rt_sampler_image_detection_tpu.ops.equiv_kernel import (
+        FusedEquivBeamformer,
+    )
+    ek = FusedEquivBeamformer(beamform.make_tables(
+        cfg0.replace(matmul_precision="high"), "lerp", cache=False))
+    ladder["high_equiv_kernel"] = timed(ek._call, key="high_equiv_kernel")
+    ladder["high"] = max(ladder["high"], ladder["high_equiv_kernel"])
+    ek = FusedEquivBeamformer(beamform.make_tables(
+        cfg0.replace(matmul_precision="default", matmul_dtype="bfloat16"),
+        "lerp", cache=False))
+    ladder["bf16_equiv_kernel"] = timed(ek._call, key="bf16_equiv_kernel")
+    ladder["bf16"] = max(ladder["bf16"], ladder["bf16_equiv_kernel"])
+    del ek
+
     # -- per-algorithm rows (round 2): every beamformer at "high", the
     # reference shape, the FFT backend, and real-time (RLS) MVDR ----------
     cfg_hi = cfg0.replace(matmul_precision="high")
@@ -183,6 +200,23 @@ def main() -> None:
             spreads[key] = round((rates[-1] - rates[0]) / rates[1], 3)
         return rates[len(rates) // 2]
 
+    # device-rate proxy for the LIVE (unbatched) loops: 64 sequential
+    # B=1 heatmaps inside one device program (lax.scan) — the per-frame
+    # device latency with the ~40 ms tunnel dispatch removed.  This is
+    # the number a local (untunneled) deployment's single-frame loop
+    # would see; the observed ~24-29 Hz live rates are dispatch-bound.
+    @jax.jit
+    def _live_proxy(frames64, t):
+        def step(c, fr):
+            return c, beamform.steered_power(fr[None], t)[0]
+        return jax.lax.scan(step, 0.0, frames64)[1]
+
+    t_ns_hi = beamform.make_tables(cfg_hi, "lerp", cache=False)
+    fr64 = jax.device_put(np.asarray(frames_dev[:64]))
+    ladder["live_loop_device_proxy_fps"] = timed_batched(
+        lambda f: _live_proxy(f, t_ns_hi), fr64, 64, 4,
+        key="live_loop_device_proxy_fps")
+
     K = 8
     fr_small = jax.device_put(np.asarray(frames_ref[:K]))
     ladder["mvdr_rls_per_frame_reference_shape"] = timed_stateful(
@@ -210,8 +244,8 @@ def main() -> None:
     steal = _steal_ticks() - steal0
     print(f"# ladder: { {k: round(v, 1) for k, v in ladder.items()} } "
           f"(headline=high precision, best of fused 3-pass ~5e-06 / "
-          f"freq-equiv exact ~2e-06 rel err vs exact f32) "
-          f"backend={jax.default_backend()}", file=sys.stderr)
+          f"freq-equiv exact ~2e-06 / equiv kernel ~1.2e-05 rel err vs "
+          f"exact f32) backend={jax.default_backend()}", file=sys.stderr)
     print(f"# medians of 3 repeats; rel spreads: {spreads}; "
           f"host steal ticks during run: {steal}", file=sys.stderr)
 

@@ -89,6 +89,48 @@ def test_equiv_auto_select_decision(tiny_cfg, monkeypatch):
         FakeTables(40000, 49, 512, 256)) is None
 
 
+def test_equiv_kernel_auto_select_decision(tiny_cfg, monkeypatch):
+    """The fused equiv KERNEL serves ``high`` only at northstar-class
+    mic counts (2M <= 256) and ``bf16`` at any shape passing the MAC
+    bar; degenerate spreads and HBM-cap violations fall through."""
+    from zybo_rt_sampler_image_detection_tpu.apps import pipeline
+    from zybo_rt_sampler_image_detection_tpu.ops import equiv_kernel
+
+    built = []
+
+    class FakeFused:
+        def __init__(self, t, *a, **kw):
+            built.append(t)
+            self._call = lambda f: f
+
+    monkeypatch.setattr(equiv_kernel, "FusedEquivBeamformer", FakeFused)
+
+    class FakeTables:
+        def __init__(self, D, T, M, N, tau_min=0, precision="high"):
+            import numpy as _np
+
+            self.W = _np.zeros((D, T, M), _np.float32)
+            self.n_samples = N
+            self.tau_min = tau_min
+            self.precision = precision
+
+    # northstar-like high (2M=128) -> kernel
+    assert pipeline._equiv_kernel_if_favored(
+        FakeTables(4225, 8, 64, 256)) is not None
+    # reference-like high (2M=512) -> None (XLA equiv path wins there)
+    assert pipeline._equiv_kernel_if_favored(
+        FakeTables(1824, 49, 256, 256)) is None
+    # reference-like bf16 -> kernel (wins everywhere measured)
+    assert pipeline._equiv_kernel_if_favored(
+        FakeTables(1824, 49, 256, 256, precision="default")) is not None
+    # degenerate single-tap spread -> None
+    assert pipeline._equiv_kernel_if_favored(
+        FakeTables(4225, 1, 64, 256, precision="default")) is None
+    # HBM cap -> None
+    assert pipeline._equiv_kernel_if_favored(
+        FakeTables(40000, 49, 512, 256, precision="default")) is None
+
+
 @pytest.mark.slow
 def test_equiv_power_reference_shape():
     """Exactness holds at the true reference shape (57x32, 256 mics,

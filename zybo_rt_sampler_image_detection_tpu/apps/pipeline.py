@@ -85,25 +85,69 @@ def _equiv_tables_if_favored(tables):
     return freq_equiv.make_equiv_tables(tables)
 
 
+def _equiv_kernel_if_favored(tables, et=None):
+    """The fused equiv Pallas kernel (``ops.equiv_kernel``) when it is
+    the fastest measured path at this rung/shape, else None.
+
+    Measured (one v5e, BENCHMARKS.md round 3):
+
+    * ``high``: kernel 44.3k vs XLA-equiv 31.1k maps/s at northstar
+      (2M=128), but 22.1k vs 22.6k at the reference shape (2M=512 —
+      the bigger stacked-mic axis makes the pass MXU-bound and the
+      on-chip spectra scratch no longer pays) -> kernel only when
+      2M <= 256;
+    * ``bf16``: kernel wins everywhere measured (79.1k vs the
+      time-domain fused kernel's 45-47k at northstar; 32.9k at the
+      reference shape) -> kernel at any shape passing the MAC bar.
+
+    The same delay-spread MAC bar and response-plane HBM cap as
+    :func:`_equiv_tables_if_favored` apply.
+    """
+    D, T, M = tables.W.shape
+    N = tables.n_samples
+    L = N + T + max(0, -tables.tau_min) + 1
+    F = L // 2 + 1
+    if T * N <= 2 * 4 * F or 16 * D * M * F > 2.4e9:
+        return None
+    if tables.precision == "high" and 2 * M > 256:
+        return None
+    from ..ops import equiv_kernel
+
+    try:
+        fused = equiv_kernel.FusedEquivBeamformer(
+            et if et is not None else tables)
+    except ValueError:                      # no VMEM plan for the shape
+        return None
+    return fused._call
+
+
 def default_power_fn(tables):
     """Production policy for the heatmap stages' device program:
 
-    * ``high`` rung on TPU -> the EXACT frequency-domain reformulation
-      (faster than the fused kernel at every measured shape since the
-      stacked-plane contraction, with exact-f32-class output —
-      BENCHMARKS.md round 3);
-    * ``bf16`` rung on TPU -> the fused Pallas kernel (45.2k vs the equiv
-      path's 36.4k at northstar);
+    * ``high`` rung on TPU -> the EXACT frequency-domain reformulation:
+      the fused equiv kernel at northstar-class mic counts (44.3k
+      maps/s, ~1.2e-5), the XLA stacked-plane path otherwise (31.1k /
+      22.6k, ~2e-6 — exact-f32-class);
+    * ``bf16`` rung on TPU -> the fused equiv kernel (79.1k vs the
+      time-domain fused kernel's 45-47k at northstar), falling back to
+      the time-domain fused kernel at shapes the equiv bar excludes;
     * ``highest`` (the bit-level reference-exactness mode) or non-TPU
-      backends (where the kernel would run in slow interpret mode) ->
+      backends (where the kernels would run in slow interpret mode) ->
       the exact XLA formulation.
     """
     if tables.precision != "highest" and jax.default_backend() == "tpu":
         et = _equiv_tables_if_favored(tables)
         if et is not None:
+            kfn = _equiv_kernel_if_favored(tables, et)
+            if kfn is not None:
+                return kfn
             from ..ops import freq_equiv
 
             return lambda f: freq_equiv.equiv_steered_power(f, et)
+        if tables.precision == "default":
+            kfn = _equiv_kernel_if_favored(tables)
+            if kfn is not None:
+                return kfn
         from ..ops.pallas_kernels import FusedBeamformer
 
         fused = FusedBeamformer(tables)

@@ -33,6 +33,16 @@ Reference semantics are inherited from :mod:`.freq_equiv` (which cites
 ``pad_and_sum.c:114-142`` etc.); parity is gated against
 ``freq_equiv.equiv_steered_power`` for every algorithm in
 ``tests/test_equiv_kernel.py``.
+
+Measured (one v5e, B=512/256, BENCHMARKS.md round 3):
+
+* northstar (64 ch): ``high`` 44.3k maps/s err 1.2e-5 (XLA equiv path
+  31.1k at 2e-6; round-2 fused time-domain kernel 19.1k) — the
+  production ``high`` default at 2M <= 256; ``bf16`` 79.1k err 3.4e-3
+  (time-domain fused 45-47k) — the production ``bf16`` default.
+* reference shape (256 ch): ``high`` 22.1k (XLA equiv 22.6k keeps the
+  rung — the wide stacked-mic axis makes the pass MXU-bound);
+  ``bf16`` 32.9k.
 """
 
 from __future__ import annotations
@@ -51,18 +61,26 @@ from .freq_equiv import EquivFreqTables, make_equiv_tables
 from .pallas_kernels import _round_up, _split_bf16
 
 
-def _equiv_power_kernel(s_ref, h1_ref, h2_ref, ib1_ref, ib2_ref, v_ref,
-                        out_ref, br_ref, bi_ref, pow_ref, *, n_fc, fc_len,
-                        n_tail, Tc, inv, th_precision, main_precision,
-                        three_pass):
+def _equiv_power_kernel(s_ref, h1_ref, h2_ref, ib1_ref, ib2_ref, sj_ref,
+                        wc_ref, out_ref, br_ref, bi_ref, pow_ref, *, n_fc,
+                        fc_len, n_tail, Tc, inv, th_precision,
+                        main_precision, three_pass):
     """One (frame-chunk, direction-tile, frequency-chunk) grid cell.
 
-    s_ref:   (P, Fc, Bc, MP2)     spectra planes, f-major, mics stacked
-    h1_ref:  (P, Fc, MP2, TILE_D) sqrt(cf)-scaled [H_re | -H_im] planes
-    h2_ref:  (P, Fc, MP2, TILE_D) sqrt(cf)-scaled [H_im |  H_re] planes
+    s_ref:   (Fc, Bc, KS)         spectra, f-major, mics stacked; in
+                                  3-pass mode KS = 2*MP2 columns
+                                  [s_hi | s_lo] (bf16 planes)
+    h1_ref:  (Fc, KH, TILE_D)     sqrt(cf)-scaled [H_re | -H_im]; in
+                                  3-pass mode KH = 2*MP2 rows [hi; lo]
+    h2_ref:  (Fc, KH, TILE_D)     sqrt(cf)-scaled [H_im |  H_re]
     ib1/ib2: (FP, TtP)            1/sqrt(cf)-scaled inverse-DFT bases
                                   (re for Br, im for Bi; FP = n_fc * Fc)
-    v_ref:   (Bc, TcP, TILE_D)    head-correction values (natural layout)
+    sj_ref:  (Bc, JMP)            correction-sample columns per frame
+    wc_ref:  (JMP, TcP, TILE_D)   head-correction weights for this tile —
+                                  v is computed ON-CHIP (the XLA-side
+                                  (B, Tc*D) matmul was output-bound at
+                                  K=64 and cost 3.7 ms + a 156 MB HBM
+                                  round-trip at the north-star shape)
     out_ref: (Bc, TILE_D)         power tile
     br/bi:   (FP, Bc, TILE_D)     persistent VMEM scratch — the steered
                                   spectra for this cell; each f-chunk
@@ -73,6 +91,7 @@ def _equiv_power_kernel(s_ref, h1_ref, h2_ref, ib1_ref, ib2_ref, v_ref,
                                   from the still-live dot outputs (an
                                   epilogue sweep over the full scratch
                                   spilled ~68 MB of registers).
+
     """
     fc_i = pl.program_id(2)
 
@@ -83,14 +102,20 @@ def _equiv_power_kernel(s_ref, h1_ref, h2_ref, ib1_ref, ib2_ref, v_ref,
             preferred_element_type=jnp.float32, precision=main_precision)
 
     if three_pass:
-        # x = hi + lo  =>  S@H ~ Shi@Hhi + Shi@Hlo + Slo@Hhi
-        br = bdot(s_ref[0], h1_ref[0]) + bdot(s_ref[0], h1_ref[1]) \
-            + bdot(s_ref[1], h1_ref[0])
-        bi = bdot(s_ref[0], h2_ref[0]) + bdot(s_ref[0], h2_ref[1]) \
-            + bdot(s_ref[1], h2_ref[0])
+        # [hi | lo] stacks on BOTH operands, three sliced dots:
+        # Shi@Hhi + Shi@Hlo + Slo@Hhi.  (A K-stacked [s_hi|s_hi|s_lo]
+        # variant measured identical MXU throughput while costing 1.5x
+        # the S bytes — and S is re-fetched per direction tile.)
+        M2 = h1_ref.shape[1] // 2
+        s_hi = s_ref[:, :, :M2]
+        s_lo = s_ref[:, :, M2:]
+        h1hi, h1lo = h1_ref[:, :M2], h1_ref[:, M2:]
+        h2hi, h2lo = h2_ref[:, :M2], h2_ref[:, M2:]
+        br = bdot(s_hi, h1hi) + bdot(s_hi, h1lo) + bdot(s_lo, h1hi)
+        bi = bdot(s_hi, h2hi) + bdot(s_hi, h2lo) + bdot(s_lo, h2hi)
     else:
-        br = bdot(s_ref[0], h1_ref[0])
-        bi = bdot(s_ref[0], h2_ref[0])
+        br = bdot(s_ref[:], h1_ref[:])
+        bi = bdot(s_ref[:], h2_ref[:])
     br_ref[pl.ds(fc_i * fc_len, fc_len)] = br
     bi_ref[pl.ds(fc_i * fc_len, fc_len)] = bi
     # Parseval: sqrt(cf) lives in the planes, so this is a plain sum of
@@ -123,11 +148,15 @@ def _equiv_power_kernel(s_ref, h1_ref, h2_ref, ib1_ref, ib2_ref, v_ref,
             t = TH[p]
             power = power - t * t
         if Tc:
-            # ||beam - v||^2 over the head columns: v is (Bc, TcP, TILE_D)
-            # in its natural build layout; index per column — no 3D
-            # transpose needed
+            # ||beam - v||^2 over the head columns; v for this tile is
+            # one small on-chip dot with 3D free dims -> (Bc, TcP,
+            # TILE_D), sliced per head column — no HBM round-trip
+            vt = jax.lax.dot_general(
+                sj_ref[:], wc_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=th_precision)
             for c in range(Tc):
-                v = v_ref[:, c, :]
+                v = vt[:, c, :]
                 power = power + (v * v - 2.0 * TH[n_tail + c] * v)
         out_ref[:, :] = power * inv
 
@@ -141,13 +170,16 @@ class EquivKernelTables:
     planes are ~860 MB — closure constants are the known
     minutes-long-compile failure mode, see CLAUDE.md)."""
 
-    H1: jax.Array               # (P, FP, MP2, DP) sqrt(cf)*[H_re | -H_im]
-    H2: jax.Array               # (P, FP, MP2, DP) sqrt(cf)*[H_im |  H_re]
+    H1: jax.Array               # (FP, KH, DP) sqrt(cf)*[H_re | -H_im];
+                                #   KH = 2*MP2 [hi; lo] rows in 3-pass
+    H2: jax.Array               # (FP, KH, DP) sqrt(cf)*[H_im |  H_re]
     ib1: jax.Array              # (FP, TtP) inverse-DFT basis / sqrt(cf)
     ib2: jax.Array              # (FP, TtP)
-    dft_re: jax.Array           # (N, F) rfft basis (unpadded — spectra
-    dft_im: jax.Array           #   are padded after the DFT matmul)
-    Wc2: Optional[jax.Array]    # (J*M, Tc*D) flat head-correction weights
+    dft_cat: jax.Array          # (N, 2F) [re | im] rfft basis — one
+                                #   merged DFT dot (two F-row dots were
+                                #   row-tile-starved: 3.6 vs 2.3 ms)
+    Wc3: Optional[jax.Array]    # (JMP, TcP, DP) head-correction weights
+                                #   in kernel-tile layout (v on-chip)
     adaptive: Optional[jax.Array]
     corr_js: tuple = dataclasses.field(metadata=dict(static=True))
     n_tail: int = dataclasses.field(metadata=dict(static=True))
@@ -190,7 +222,6 @@ class FusedEquivBeamformer:
         self.mode = mode
         self.interpret = interpret
         self.three_pass = mode == "high"
-        P = 2 if self.three_pass else 1
         plane_dtype = jnp.float32 if mode == "f32" else jnp.bfloat16
 
         D, M2, F = et.Hs1.shape
@@ -212,13 +243,16 @@ class FusedEquivBeamformer:
         # (the spectra scratch is full-F regardless — it is the point)
         isz = np.dtype(plane_dtype).itemsize
 
+        KH = 2 * MP2 if self.three_pass else MP2     # H rows [hi; lo]
+        KS = 2 * MP2 if self.three_pass else MP2     # s cols [hi | lo]
+
         def vmem_est(FPp, fc, bc):
             return (2 * FPp * bc * tile_d * 4            # Br/Bi scratch
-                    + 2 * P * fc * bc * MP2 * isz        # s chunk (dbl)
-                    + 2 * 2 * P * fc * MP2 * tile_d * isz   # H1/H2 (dbl)
+                    + 2 * fc * bc * KS * isz             # s chunk (dbl)
+                    + 2 * 2 * fc * KH * tile_d * isz     # H1/H2 (dbl)
                     + 2 * fc * bc * tile_d * 4           # per-chunk dot
-                    + 2 * TtP * bc * tile_d * 4          # TH + reuse
-                    + bc * TcP * tile_d * 4 * 2          # v (dbl)
+                    + TtP * bc * tile_d * 4              # TH value
+                    + bc * TcP * tile_d * 4              # vt value
                     + 2 * bc * tile_d * 4                # out
                     + 2 * FPp * TtP * 4)                 # bases
 
@@ -240,6 +274,7 @@ class FusedEquivBeamformer:
         self.chunk_b, self.n_fc, self.fc_len, FP = plan
         self.FP, self.MP2, self.DP, self.TtP, self.TcP = \
             FP, MP2, DP, TtP, TcP
+        self.KH, self.KS = KH, KS
         self.n_tail, self.Tc = n_tail, Tc
         self.vmem_bytes = vmem_est(FP, self.fc_len, self.chunk_b)
 
@@ -249,13 +284,15 @@ class FusedEquivBeamformer:
         inv_scf = (1.0 / np.sqrt(cf)).astype(np.float32)
 
         def planes(Hs):
-            # (D, 2M, F) -> sqrt(cf)-scaled (F, 2M, D), padded, split
+            # (D, 2M, F) -> sqrt(cf)-scaled (F, 2M, D), padded; in 3-pass
+            # mode the hi/lo planes stack along the CONTRACTION dim
+            # ([hi; lo] rows) so the kernel runs wide K=2*MP2 dots
             h = (Hs * jnp.asarray(scf)[None, None, :]).transpose(2, 1, 0)
             h = jnp.pad(h, ((0, FP - F), (0, MP2 - M2), (0, DP - D)))
             if self.three_pass:
                 hi, lo = _split_bf16(h)
-                return jnp.stack([hi, lo])
-            return h.astype(plane_dtype)[None]
+                return jnp.concatenate([hi, lo], axis=1)  # (FP, 2*MP2, DP)
+            return h.astype(plane_dtype)
 
         H1 = planes(et.Hs1)
         H2 = planes(et.Hs2)
@@ -270,20 +307,24 @@ class FusedEquivBeamformer:
 
         if et.Wc is not None:
             J = et.Wc.shape[0]
-            # (J, D, Tc, M) -> (J*M, Tc*D): the flat matmul's output
-            # (B, Tc*D) reshapes straight into the kernel's natural
-            # (Bc, TcP, TILE_D) v-block layout — no transposes
-            Wc2 = jnp.asarray(et.Wc, jnp.float32).transpose(
-                0, 3, 2, 1).reshape(J * M, Tc * D)
+            self.JMP = _round_up(J * M, 8)
+            # (J, D, Tc, M) -> (JMP, TcP, DP): the kernel computes v
+            # on-chip as one (Bc, JMP) x (JMP, TcP, TILE_D) dot per tile
+            w3 = jnp.asarray(et.Wc, jnp.float32).transpose(
+                0, 3, 2, 1).reshape(J * M, Tc, D)
+            Wc3 = jnp.pad(w3, ((0, self.JMP - J * M),
+                               (0, TcP - Tc), (0, DP - D)))
         else:
-            Wc2 = None
+            self.JMP = 8
+            Wc3 = None
 
         adp = np.asarray(et.adaptive)
         adaptive = None if np.array_equal(adp, np.arange(M)) \
             else jnp.asarray(adp)
         self.kt = EquivKernelTables(
             H1=H1, H2=H2, ib1=ib1, ib2=ib2,
-            dft_re=et.dft_re, dft_im=et.dft_im, Wc2=Wc2,
+            dft_cat=jnp.concatenate([et.dft_re, et.dft_im], axis=1),
+            Wc3=Wc3,
             adaptive=adaptive, corr_js=et.corr_js, n_tail=n_tail, Tc=Tc,
             F=F, M=M, D=D, n_samples=N, res_x=et.res_x, res_y=et.res_y,
             mode=mode)
@@ -318,45 +359,46 @@ def _equiv_fused_forward(signals, kt: EquivKernelTables, *, meta):
         sf = sf[:, :M, :]
     sf = sf.astype(jnp.float32)
     s2 = sf.reshape(B * M, N)
-    # f-major spectra directly from a transposed contraction:
-    # (N, F)^T-contract (B*M, N) -> (F, B*M); no (B, 2M, F) transpose
-    srT = jax.lax.dot_general(
-        kt.dft_re, s2, (((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=dft_prec).reshape(F, B, M)
-    siT = jax.lax.dot_general(
-        kt.dft_im, s2, (((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=dft_prec).reshape(F, B, M)
+    # f-major spectra from ONE merged transposed contraction:
+    # (N, 2F)^T-contract (B*M, N) -> (2F, B*M); no (B, 2M, F) transpose
+    both = jax.lax.dot_general(
+        kt.dft_cat, s2, (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=dft_prec)
+    srT = both[:F].reshape(F, B, M)
+    siT = both[F:].reshape(F, B, M)
     S3 = jnp.concatenate([srT, siT], axis=2)             # (F, B, 2M)
     S3 = jnp.pad(S3, ((0, FP - F), (0, BP - B), (0, MP2 - 2 * M)))
     if three_pass:
+        # hi/lo planes stacked along the stacked-mic axis; the kernel
+        # slices them back for the three-pass dots
         hi, lo = _split_bf16(S3)
-        S = jnp.stack([hi, lo])                          # (P, FP, BP, MP2)
+        S = jnp.concatenate([hi, lo], axis=2)            # (FP, BP, 2*MP2)
     else:
-        S = S3.astype(kt.H1.dtype)[None]
+        S = S3.astype(kt.H1.dtype)
 
-    # head-correction values v in their NATURAL kernel layout:
-    # (B, Tc*D) -> (BP, TcP, DP) with no transposes
-    if kt.Wc2 is not None:
+    # head-correction inputs: the sample columns (B, J*M) plus the
+    # weight tiles; v itself is computed on-chip per direction tile
+    if kt.Wc3 is not None:
         sj = jnp.stack([sf[:, :, j] for j in kt.corr_js], axis=1)
-        v = jnp.dot(sj.reshape(B, -1), kt.Wc2,
-                    precision=jax.lax.Precision.HIGHEST)
-        v = v.reshape(B, kt.Tc, kt.D)
-        v = jnp.pad(v, ((0, BP - B), (0, m.TcP - kt.Tc),
-                        (0, m.DP - kt.D)))
-        v_spec = pl.BlockSpec((Bc, m.TcP, m.tile_d),
-                              lambda b, d, f: (b, 0, d),
-                              memory_space=pltpu.VMEM)
+        sj = sj.reshape(B, -1)
+        sj = jnp.pad(sj, ((0, BP - B), (0, m.JMP - sj.shape[1])))
+        wc = kt.Wc3
+        sj_spec = pl.BlockSpec((Bc, m.JMP), lambda b, d, f: (b, 0),
+                               memory_space=pltpu.VMEM)
+        wc_spec = pl.BlockSpec((m.JMP, m.TcP, m.tile_d),
+                               lambda b, d, f: (0, 0, d),
+                               memory_space=pltpu.VMEM)
     else:
-        # no boundary corrections: a single shared dummy block (the
-        # kernel's Tc==0 branch never reads it)
-        v = jnp.zeros((Bc, m.TcP, m.tile_d), jnp.float32)
-        v_spec = pl.BlockSpec((Bc, m.TcP, m.tile_d),
-                              lambda b, d, f: (0, 0, 0),
-                              memory_space=pltpu.VMEM)
+        # no boundary corrections: shared dummy blocks (the kernel's
+        # Tc==0 branch never reads them)
+        sj = jnp.zeros((Bc, m.JMP), jnp.float32)
+        wc = jnp.zeros((m.JMP, m.TcP, m.tile_d), jnp.float32)
+        sj_spec = pl.BlockSpec((Bc, m.JMP), lambda b, d, f: (0, 0),
+                               memory_space=pltpu.VMEM)
+        wc_spec = pl.BlockSpec((m.JMP, m.TcP, m.tile_d),
+                               lambda b, d, f: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
 
-    P = S.shape[0]
     grid = (BP // Bc, m.DP // m.tile_d, m.n_fc)
     fc = m.fc_len
     kernel = functools.partial(
@@ -371,19 +413,20 @@ def _equiv_fused_forward(signals, kt: EquivKernelTables, *, meta):
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((P, fc, Bc, MP2), lambda b, d, f: (0, f, b, 0),
+            pl.BlockSpec((fc, Bc, m.KS), lambda b, d, f: (f, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, fc, MP2, m.tile_d),
-                         lambda b, d, f: (0, f, 0, d),
+            pl.BlockSpec((fc, m.KH, m.tile_d),
+                         lambda b, d, f: (f, 0, d),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, fc, MP2, m.tile_d),
-                         lambda b, d, f: (0, f, 0, d),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((FP, m.TtP), lambda b, d, f: (0, 0),
+            pl.BlockSpec((fc, m.KH, m.tile_d),
+                         lambda b, d, f: (f, 0, d),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((FP, m.TtP), lambda b, d, f: (0, 0),
                          memory_space=pltpu.VMEM),
-            v_spec,
+            pl.BlockSpec((FP, m.TtP), lambda b, d, f: (0, 0),
+                         memory_space=pltpu.VMEM),
+            sj_spec,
+            wc_spec,
         ],
         out_specs=pl.BlockSpec((Bc, m.tile_d), lambda b, d, f: (b, d),
                                memory_space=pltpu.VMEM),
@@ -398,11 +441,11 @@ def _equiv_fused_forward(signals, kt: EquivKernelTables, *, meta):
             vmem_limit_bytes=127 * 1024 * 1024,
             dimension_semantics=("parallel", "arbitrary", "arbitrary")),
         cost_estimate=pl.CostEstimate(
-            flops=2 * P * BP * m.DP * MP2 * FP
+            flops=2 * BP * m.DP * m.KS * FP
             + 12 * m.TtP * BP * m.DP * FP,
             bytes_accessed=(kt.H1.size + kt.H2.size) * kt.H1.dtype.itemsize
             + S.size * S.dtype.itemsize + 4 * BP * m.DP,
             transcendentals=0,
         ),
-    )(S, kt.H1, kt.H2, kt.ib1, kt.ib2, v)
+    )(S, kt.H1, kt.H2, kt.ib1, kt.ib2, sj, wc)
     return power[:B, :kt.D].reshape(B, kt.res_x, kt.res_y)
