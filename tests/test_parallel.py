@@ -74,6 +74,28 @@ def test_sharded_equiv_matches_single(tiny_cfg, rng, shape):
     np.testing.assert_allclose(got, single, rtol=1e-5, atol=1e-9)
 
 
+@pytest.mark.parametrize("shape", [(4, 2), (2, 4)])
+def test_sharded_equiv_kernel_matches_single(tiny_cfg, rng, shape):
+    """The fused equiv Pallas kernel under shard_map (data x model,
+    per-shard direction slices of the response planes) must equal the
+    single-device exact path — this is the production 'high'/'bf16'
+    kernel's multi-chip form."""
+    n_data, n_model = shape
+    frames = np.stack([synth_frame(tiny_cfg, rng) for _ in range(8)])
+    tables = beamform.make_tables(
+        tiny_cfg.replace(matmul_precision="high"), "lerp", cache=False)
+    ref = np.asarray(beamform.steered_power(frames, tables))
+
+    m = pmesh.make_mesh(n_data, n_model)
+    fn = pmesh.sharded_equiv_kernel_power(m, tables)
+    got = np.asarray(fn(frames))
+    np.testing.assert_allclose(got, ref, rtol=5e-5, atol=1e-8)
+    # batch sizes that don't divide the mesh pad globally (not per
+    # shard — per-shard padding would scramble the assembled rows)
+    got5 = np.asarray(fn(frames[:5]))
+    np.testing.assert_allclose(got5, ref[:5], rtol=5e-5, atol=1e-8)
+
+
 def test_sharded_fft_power_matches_single(tiny_cfg, rng):
     """Frequency bins sharded over ``model`` (with repeat-padding + zero
     weights masking the duplicates) must reproduce the single-device

@@ -343,8 +343,16 @@ class FusedEquivBeamformer:
 
 
 def _equiv_fused_forward(signals, kt: EquivKernelTables, *, meta):
-    """Jitted forward: DFT (flat matmuls, f-major output via transposed
-    contraction — no large transposes) -> plane split -> fused kernel."""
+    """Jitted forward: DFT -> plane split -> fused kernel -> (B, X, Y)."""
+    power = _equiv_forward_flat(signals, kt, meta)
+    return power[:signals.shape[0], :kt.D].reshape(
+        signals.shape[0], kt.res_x, kt.res_y)
+
+
+def _equiv_forward_flat(signals, kt: EquivKernelTables, meta):
+    """Un-reshaped fused-kernel forward, (BP, DP) with padding intact —
+    the shard-map path (``parallel.mesh.sharded_equiv_kernel_power``)
+    runs this per shard with a local-DP meta and slices globally."""
     m = meta
     B, _, N = signals.shape
     M, F, FP, MP2 = kt.M, kt.F, m.FP, m.MP2
@@ -448,4 +456,4 @@ def _equiv_fused_forward(signals, kt: EquivKernelTables, *, meta):
             transcendentals=0,
         ),
     )(S, kt.H1, kt.H2, kt.ib1, kt.ib2, sj, wc)
-    return power[:B, :kt.D].reshape(B, kt.res_x, kt.res_y)
+    return power

@@ -27,6 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import beamform
 from ..ops.beamform import SteeringTables
+from ..ops.pallas_kernels import _round_up
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
@@ -239,6 +240,118 @@ def sharded_equiv_power(mesh: Mesh, et):
         return flat[:, :D_true].reshape(frames.shape[0], res_x, res_y)
 
     return lambda frames: run(jax.device_put(frames, data), et)
+
+
+def sharded_equiv_kernel_power(mesh: Mesh, t, mode=None, interpret=None):
+    """Multi-chip fused equiv KERNEL (the production ``high``/``bf16``
+    path at northstar-class shapes): each device runs the Pallas equiv
+    kernel on its (data shard of frames) x (model shard of directions);
+    XLA assembles the (B, X, Y) map at the output boundary.
+
+    ``t`` is :class:`~..ops.beamform.SteeringTables` or
+    :class:`~..ops.freq_equiv.EquivFreqTables`.  Returns
+    ``fn(frames) -> (B, X, Y)``.
+    """
+    import copy
+
+    from jax import shard_map
+
+    from ..ops import equiv_kernel as ek
+    from ..ops import freq_equiv
+
+    et = t if isinstance(t, freq_equiv.EquivFreqTables) \
+        else freq_equiv.make_equiv_tables(t)
+    n_model = mesh.shape["model"]
+    if interpret is None:
+        interpret = mesh.devices.flat[0].platform != "tpu"
+
+    # pad the direction axis so every shard gets an equal, tile-aligned
+    # slice of the response planes (zero rows -> zero power, sliced off)
+    D = et.Hs1.shape[0]
+    tile_d = 128
+    D_loc = _round_up(-(-D // n_model), tile_d)
+    D_pad = D_loc * n_model
+    if D_pad != D:
+        pad = D_pad - D
+
+        def padd(x, axis):
+            shape = list(x.shape)
+            shape[axis] = pad
+            return jnp.concatenate([x, jnp.zeros(shape, x.dtype)],
+                                   axis=axis)
+
+        et = dataclasses.replace(
+            et, Hs1=padd(et.Hs1, 0), Hs2=padd(et.Hs2, 0),
+            Wc=None if et.Wc is None else padd(et.Wc, 1))
+
+    fused = ek.FusedEquivBeamformer(et, mode=mode, tile_d=tile_d,
+                                    interpret=interpret)
+    assert fused.DP == D_pad
+    meta_loc = copy.copy(fused)
+    meta_loc.DP = D_loc
+    kt = fused.kt
+
+    def put(x, spec):
+        return None if x is None else jax.device_put(
+            x, NamedSharding(mesh, spec))
+
+    H1 = put(kt.H1, P(None, None, "model"))
+    H2 = put(kt.H2, P(None, None, "model"))
+    Wc3 = put(kt.Wc3, P(None, None, "model"))
+    ib1, ib2 = put(kt.ib1, P()), put(kt.ib2, P())
+    dft_cat = put(kt.dft_cat, P())
+    adaptive = put(kt.adaptive, P())
+    statics = {f.name: getattr(kt, f.name)
+               for f in dataclasses.fields(kt)
+               if f.metadata.get("static")}
+    has_wc = kt.Wc3 is not None
+    has_adp = kt.adaptive is not None
+
+    def local(frames, H1, H2, ib1, ib2, dft_cat, Wc3, adaptive):
+        kt_loc = ek.EquivKernelTables(
+            H1=H1, H2=H2, ib1=ib1, ib2=ib2, dft_cat=dft_cat,
+            Wc3=Wc3 if has_wc else None,
+            adaptive=adaptive if has_adp else None, **statics)
+        return ek._equiv_forward_flat(frames, kt_loc, meta_loc)
+
+    wc_arg = Wc3 if has_wc else jnp.zeros((1,), jnp.float32)
+    adp_arg = adaptive if has_adp else jnp.zeros((1,), jnp.int32)
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data", None, None),
+                  P(None, None, "model"), P(None, None, "model"),
+                  P(None, None), P(None, None), P(None, None),
+                  P(None, None, "model") if has_wc else P(None),
+                  P(None) if has_adp else P(None)),
+        out_specs=P("data", "model"),
+        check_vma=False,
+    )
+
+    data = NamedSharding(mesh, P("data", None, None))
+    n_data = mesh.shape["data"]
+
+    @jax.jit
+    def run(frames, H1, H2, ib1, ib2, dft_cat, wc_arg, adp_arg):
+        flat = fn(frames, H1, H2, ib1, ib2, dft_cat, wc_arg, adp_arg)
+        return flat[:, :D].reshape(frames.shape[0], kt.res_x, kt.res_y)
+
+    def call(frames):
+        # pad the GLOBAL batch so no shard pads internally — per-shard
+        # padding would interleave zero rows into the assembled output
+        B = frames.shape[0]
+        b1 = _round_up(max(-(-B // n_data), 1), 8)
+        bc = min(fused.chunk_b, b1)
+        BPg = _round_up(b1, bc) * n_data
+        frames = jnp.asarray(frames)
+        if BPg != B:
+            frames = jnp.concatenate(
+                [frames, jnp.zeros((BPg - B,) + frames.shape[1:],
+                                   frames.dtype)])
+        out = run(jax.device_put(frames, data), H1, H2, ib1, ib2,
+                  dft_cat, wc_arg, adp_arg)
+        return out[:B]
+
+    return call
 
 
 # ---------------------------------------------------------------------------
