@@ -44,6 +44,11 @@ def test_equiv_pipeline_backend(tiny_cfg):
                      np.float32)
     out = np.asarray(p._power_fn(frame[None]))
     assert out.shape == (1, tiny_cfg.max_res_x, tiny_cfg.max_res_y)
+    # explicit fused equiv kernel backend (interpret mode on CPU)
+    pk = Pipeline(tiny_cfg, algorithm="lerp", replay_mode=True,
+                  power_backend="equiv_kernel")
+    outk = np.asarray(pk._power_fn(frame[None]))
+    assert outk.shape == (1, tiny_cfg.max_res_x, tiny_cfg.max_res_y)
     with pytest.raises(ValueError):
         Pipeline(tiny_cfg, power_backend="nope")
 

@@ -45,6 +45,10 @@ def _add_common(p):
                    help="exact frequency-domain reformulation of the "
                         "selected time-domain algorithm (~15x fewer MACs "
                         "at the reference shape, same output)")
+    p.add_argument("--equiv-kernel", action="store_true",
+                   help="force the fused equiv Pallas kernel (the auto "
+                        "policy already picks it where it measured "
+                        "fastest; this overrides the shape bar)")
 
 
 def _make_pipeline(args, audio_sink="null", audio_path=None,
@@ -101,9 +105,12 @@ def _make_pipeline(args, audio_sink="null", audio_path=None,
                     backend=args.backend, audio_sink=audio_sink,
                     audio_path=audio_path, power_fn=power_fn,
                     ring_frames=ring_frames,
-                    power_backend=("freq_equiv"
-                                   if getattr(args, "equiv", False)
-                                   else "auto"))
+                    power_backend=(
+                        "equiv_kernel"
+                        if getattr(args, "equiv_kernel", False)
+                        else "freq_equiv"
+                        if getattr(args, "equiv", False)
+                        else "auto"))
 
 
 def cmd_mimo(args):

@@ -692,7 +692,15 @@ class Pipeline:
 
             et = freq_equiv.make_equiv_tables(self.tables)
             power_fn = lambda f: freq_equiv.equiv_steered_power(f, et)  # noqa: E731
-        elif power_backend not in ("auto", "freq_equiv"):
+        elif power_fn is None and power_backend == "equiv_kernel":
+            # explicit fused equiv Pallas kernel (ops/equiv_kernel) —
+            # default_power_fn already selects it where it measured
+            # fastest; this forces it (e.g. to benchmark a shape the
+            # 2M<=256 'high' bar excludes)
+            from ..ops import equiv_kernel
+
+            power_fn = equiv_kernel.FusedEquivBeamformer(self.tables)._call
+        elif power_backend not in ("auto", "freq_equiv", "equiv_kernel"):
             raise ValueError(f"unknown power backend {power_backend!r}")
         self.receiver = Receiver(self.cfg, replay_mode=replay_mode,
                                  backend=backend, ring_frames=ring_frames)
