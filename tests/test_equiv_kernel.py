@@ -77,6 +77,21 @@ def test_kernel_default_mode_follows_tables(tiny_cfg):
     assert equiv_kernel.FusedEquivBeamformer(t_bf).mode == "bf16"
 
 
+def test_kernel_disabled_mics_gather(tiny_cfg, rng):
+    """Non-identity active-mic sets (dead-mic list) exercise the
+    adaptive gather path of the kernel forward."""
+    cfg = tiny_cfg.replace(matmul_precision="high", unused_mics=(1, 5))
+    frames = np.stack([synth_frame(cfg, rng) for _ in range(3)])
+    t = beamform.make_tables(cfg, "lerp", cache=False)
+    assert not np.array_equal(np.asarray(t.adaptive),
+                              np.arange(len(np.asarray(t.adaptive))))
+    ref = np.asarray(beamform.steered_power(frames, t), np.float64)
+    fused = equiv_kernel.FusedEquivBeamformer(t, mode="high")
+    assert fused.kt.adaptive is not None
+    got = np.asarray(fused(frames), np.float64)
+    np.testing.assert_allclose(got, ref, rtol=5e-5, atol=1e-12)
+
+
 def test_kernel_vmem_plan_chunks_frequencies():
     """The auto-planner must fall back to frequency chunking (and
     smaller frame chunks) for reference-scale shapes instead of blowing
