@@ -94,10 +94,10 @@ def main() -> None:
             best = max(best, timed(fused._call, key=name))
         ladder[name] = best
 
-    # production "high" path (pipeline.default_power_fn): the EXACT
-    # frequency-domain reformulation — the stacked-plane (K=2M)
-    # contraction beats the fused kernel at every measured shape at this
-    # rung (BENCHMARKS.md round 3), with exact-f32-class output (~2e-6).
+    # EXACT frequency-domain reformulation (opt-in
+    # power_backend="freq_equiv"): stacked-plane (K=2M) contraction with
+    # exact-f32-class output (~2e-6) — the fastest exact-tier path
+    # (BENCHMARKS.md round 3).
     from zybo_rt_sampler_image_detection_tpu.ops import freq_equiv
     et_ns = freq_equiv.make_equiv_tables(beamform.make_tables(
         cfg0.replace(matmul_precision="high"), "lerp", cache=False))
@@ -108,8 +108,8 @@ def main() -> None:
     del et_ns
 
     # fused equiv KERNEL (ops/equiv_kernel): spectra stay in VMEM — the
-    # production default at northstar-class shapes ('high': 2M <= 256)
-    # and at the bf16 rung everywhere (pipeline._equiv_kernel_if_favored)
+    # production default at the 'high' and 'bf16' rungs for every in-bar
+    # shape (pipeline._equiv_kernel_if_favored)
     from zybo_rt_sampler_image_detection_tpu.ops.equiv_kernel import (
         FusedEquivBeamformer,
     )
@@ -122,6 +122,13 @@ def main() -> None:
         "lerp", cache=False))
     ladder["bf16_equiv_kernel"] = timed(ek._call, key="bf16_equiv_kernel")
     ladder["bf16"] = max(ladder["bf16"], ladder["bf16_equiv_kernel"])
+    # f32 mode (6-pass HIGHEST planes): ~1e-6-class accuracy AND faster
+    # than the XLA equiv path — recorded as its own accuracy tier (the
+    # "highest" rung keeps the bit-level time-domain contract).
+    ek = FusedEquivBeamformer(beamform.make_tables(
+        cfg0.replace(matmul_precision="high"), "lerp", cache=False),
+        mode="f32")
+    ladder["f32_equiv_kernel"] = timed(ek._call, key="f32_equiv_kernel")
     del ek
 
     # -- per-algorithm rows (round 2): every beamformer at "high", the

@@ -95,9 +95,10 @@ def test_equiv_auto_select_decision(tiny_cfg, monkeypatch):
 
 
 def test_equiv_kernel_auto_select_decision(tiny_cfg, monkeypatch):
-    """The fused equiv KERNEL serves ``high`` only at northstar-class
-    mic counts (2M <= 256) and ``bf16`` at any shape passing the MAC
-    bar; degenerate spreads and HBM-cap violations fall through."""
+    """The fused equiv KERNEL serves ``high`` and ``bf16`` at any
+    shape passing the MAC bar (since the HIGH-precision DFT it wins the
+    ``high`` rung at the reference shape too — BENCHMARKS.md round 3);
+    degenerate spreads and HBM-cap violations fall through."""
     from zybo_rt_sampler_image_detection_tpu.apps import pipeline
     from zybo_rt_sampler_image_detection_tpu.ops import equiv_kernel
 
@@ -122,9 +123,10 @@ def test_equiv_kernel_auto_select_decision(tiny_cfg, monkeypatch):
     # northstar-like high (2M=128) -> kernel
     assert pipeline._equiv_kernel_if_favored(
         FakeTables(4225, 8, 64, 256)) is not None
-    # reference-like high (2M=512) -> None (XLA equiv path wins there)
+    # reference-like high (2M=512) -> kernel (23.5k vs XLA-equiv 22.6k
+    # since the HIGH-precision DFT)
     assert pipeline._equiv_kernel_if_favored(
-        FakeTables(1824, 49, 256, 256)) is None
+        FakeTables(1824, 49, 256, 256)) is not None
     # reference-like bf16 -> kernel (wins everywhere measured)
     assert pipeline._equiv_kernel_if_favored(
         FakeTables(1824, 49, 256, 256, precision="default")) is not None

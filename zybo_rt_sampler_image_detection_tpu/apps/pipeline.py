@@ -91,14 +91,14 @@ def _equiv_kernel_if_favored(tables, et=None):
 
     Measured (one v5e, BENCHMARKS.md round 3):
 
-    * ``high``: kernel 44.3k vs XLA-equiv 31.1k maps/s at northstar
-      (2M=128), but 22.1k vs 22.6k at the reference shape (2M=512 —
-      the bigger stacked-mic axis makes the pass MXU-bound and the
-      on-chip spectra scratch no longer pays) -> kernel only when
-      2M <= 256;
+    * ``high``: kernel 44.4k vs XLA-equiv 31.1k maps/s at northstar;
+      23.5k (err 7.8e-6) vs 22.6k (2e-6) at the reference shape since
+      the HIGH-precision DFT — fastest at every measured shape.  Users
+      needing the ~2e-6 exact-f32 tier opt into
+      ``power_backend="freq_equiv"``;
     * ``bf16``: kernel wins everywhere measured (79.1k vs the
       time-domain fused kernel's 45-47k at northstar; 32.9k at the
-      reference shape) -> kernel at any shape passing the MAC bar.
+      reference shape).
 
     The same delay-spread MAC bar and response-plane HBM cap as
     :func:`_equiv_tables_if_favored` apply.
@@ -108,8 +108,6 @@ def _equiv_kernel_if_favored(tables, et=None):
     L = N + T + max(0, -tables.tau_min) + 1
     F = L // 2 + 1
     if T * N <= 2 * 4 * F or 16 * D * M * F > 2.4e9:
-        return None
-    if tables.precision == "high" and 2 * M > 256:
         return None
     from ..ops import equiv_kernel
 
@@ -124,10 +122,12 @@ def _equiv_kernel_if_favored(tables, et=None):
 def default_power_fn(tables):
     """Production policy for the heatmap stages' device program:
 
-    * ``high`` rung on TPU -> the EXACT frequency-domain reformulation:
-      the fused equiv kernel at northstar-class mic counts (44.3k
-      maps/s, ~1.2e-5), the XLA stacked-plane path otherwise (31.1k /
-      22.6k, ~2e-6 — exact-f32-class);
+    * ``high`` rung on TPU -> the EXACT frequency-domain reformulation,
+      served by the fused equiv kernel (44.4k maps/s at northstar,
+      23.5k at the reference shape — ~1e-5 err class), falling back to
+      the XLA stacked-plane path (~2e-6, exact-f32-class) at shapes the
+      kernel has no VMEM plan for — or explicitly via
+      ``power_backend="freq_equiv"``;
     * ``bf16`` rung on TPU -> the fused equiv kernel (79.1k vs the
       time-domain fused kernel's 45-47k at northstar), falling back to
       the time-domain fused kernel at shapes the equiv bar excludes;

@@ -36,13 +36,16 @@ Reference semantics are inherited from :mod:`.freq_equiv` (which cites
 
 Measured (one v5e, B=512/256, BENCHMARKS.md round 3):
 
-* northstar (64 ch): ``high`` 44.3k maps/s err 1.2e-5 (XLA equiv path
-  31.1k at 2e-6; round-2 fused time-domain kernel 19.1k) — the
-  production ``high`` default at 2M <= 256; ``bf16`` 79.1k err 3.4e-3
-  (time-domain fused 45-47k) — the production ``bf16`` default.
-* reference shape (256 ch): ``high`` 22.1k (XLA equiv 22.6k keeps the
-  rung — the wide stacked-mic axis makes the pass MXU-bound);
+* northstar (64 ch): ``high`` 44.4k maps/s err 1.2e-5 (XLA equiv path
+  31.1k at 2e-6; round-2 fused time-domain kernel 19.1k); ``bf16``
+  79.1k err 3.4e-3 (time-domain fused 45-47k); ``f32`` 36.0k at ~1e-6.
+* reference shape (256 ch): ``high`` 23.5k err 7.8e-6 (XLA equiv 22.6k
+  at 2e-6 — the rung flipped to the kernel once the DFT prep dropped
+  from HIGHEST to HIGH, which the 3-pass main dot cannot out-resolve);
   ``bf16`` 32.9k.
+
+The kernel is the production default at both rungs for every in-bar
+shape (``pipeline._equiv_kernel_if_favored``).
 """
 
 from __future__ import annotations
@@ -359,8 +362,13 @@ def _equiv_forward_flat(signals, kt: EquivKernelTables, meta):
     Bc = min(m.chunk_b, _round_up(B, 8))
     BP = _round_up(B, Bc)
     three_pass = m.three_pass
-    dft_prec = (jax.lax.Precision.DEFAULT if m.mode == "bf16"
-                else jax.lax.Precision.HIGHEST)
+    # DFT precision per rung: 'f32' keeps HIGHEST (the ~1e-6 exactness
+    # tier); 'high' runs HIGH — its 3-pass spectra error (~1e-5 on the
+    # power map) sits inside the mode's own 3-pass main-dot class, and
+    # HIGHEST cost ~2x there for accuracy the rung can't surface
+    dft_prec = {"bf16": jax.lax.Precision.DEFAULT,
+                "high": jax.lax.Precision.HIGH}.get(
+        m.mode, jax.lax.Precision.HIGHEST)
 
     sf = signals if kt.adaptive is None else signals[:, kt.adaptive, :]
     if kt.adaptive is None and sf.shape[1] != M:
