@@ -434,8 +434,15 @@ def update_precision_block(state: PrecisionState, signals: jax.Array,
     """
     if signals.ndim == 2:
         signals = signals[None]
-    B = signals.shape[0]
     sr, si = _frame_fft(signals, t)                    # (B, F, M)
+    return _update_precision_block_sp(state, sr, si, alpha)
+
+
+def _update_precision_block_sp(state: PrecisionState, sr: jax.Array,
+                               si: jax.Array, alpha: float
+                               ) -> PrecisionState:
+    """:func:`update_precision_block` on precomputed spectra (B, F, M)."""
+    B = sr.shape[0]
     aB = alpha ** B
     w = jnp.sqrt((1.0 - alpha)
                  * alpha ** (B - 1.0 - jnp.arange(B, dtype=jnp.float32)))
@@ -488,15 +495,40 @@ def mvdr_maps_scan(state: PrecisionState, signals: jax.Array,
 
     with ``a^H P_t s_j`` and ``s_j^H P_t s_k`` themselves rank-1
     recursions on (F, D, B) / (F, B, B) projection tensors.  One full
-    map evaluation (d_0) + two projection matmuls + a B-step scan of
-    elementwise updates replaces B full evaluations: ~60x fewer FLOPs at
-    the reference shape for B=64, matching the sequential loop up to f32
-    reassociation (the recursion reorders ops; gated at 1e-3 in tests).
+    map evaluation (d_0) + two projection matmuls + a B-step scan
+    replaces B full evaluations: ~60x fewer FLOPs at the reference shape
+    for B=64, matching the sequential loop up to f32 reassociation (the
+    recursion reorders ops; gated at 1e-3 in tests).
+
+    Round-3 refinement: the (F, D, B) tensor ``Y_t = a^H P_t S`` never
+    enters the scan at all.  Each step's update is rank-1 —
+    ``Y_t = (Y_{t-1} - kappa_t m_t r_t)/alpha`` with ``m_t`` a COLUMN of
+    ``Y_{t-1}`` — so ``Y_t = Y_0 A_t`` for a small per-bin coefficient
+    matrix with the closed recursion ``A_t = (A_{t-1} - kappa_t
+    A_{t-1}e_t r_t)/alpha`` living entirely in (F, B, B).  The scan
+    carries only A and the snapshot Gram tensor y (~KB-scale at the
+    reference shape vs ~250 MB with Y in the carry — the old scan
+    streamed ~16 GB of HBM per 64-frame block and was traffic-bound),
+    then ONE batched matmul ``M = Y_0 A`` recovers every frame's
+    ``m_t``, and the d-recursion unrolls to a weighted running sum
+    ``d_t = (d_0 - sum_{s<=t} alpha^s kappa_s |m_s|^2) / alpha^{t+1}``
+    computed as a triangular matmul (single HBM pass).
+
+    Coefficient depth is CHUNKED at 16 frames: A's entries grow like
+    ``alpha^-t`` and frame t's ``m_t`` is a depth-t signed combination of
+    the chunk-start columns, so deep blocks cancel catastrophically
+    (0.8% relative at depth 24 vs 3e-5 at depth 6).  Every 16 frames the
+    precision state advances by the exact rank-16 Woodbury update and
+    the projections (Y_0, y) are re-measured from the REAL P — bounding
+    the mixing depth while ``d`` carries across chunks exactly (its
+    recursion is per-(f, d) scalar, representation-free).  Total matmul
+    FLOPs are unchanged (projections are per-frame-linear); only the
+    (F, M, M) state streams once per chunk instead of once per block.
 
     Returns ``(maps (B, X, Y), new_state)`` — frame t's map reflects the
     state AFTER absorbing frames 0..t, exactly like the sequential loop;
-    ``new_state`` comes from the rank-B Woodbury block update (the same
-    posterior).
+    ``new_state`` comes from composing the per-chunk rank-16 Woodbury
+    block updates (the same posterior).
     """
     prec = {"highest": jax.lax.Precision.HIGHEST,
             "high": jax.lax.Precision.HIGH,
@@ -505,50 +537,36 @@ def mvdr_maps_scan(state: PrecisionState, signals: jax.Array,
         signals = signals[None]
     B = signals.shape[0]
     sr, si = _frame_fft(signals, t)                    # (B, F, M)
-    Sr = jnp.moveaxis(sr, 0, 2)                        # (F, M, B)
-    Si = jnp.moveaxis(si, 0, 2)
     a_re, a_im = t.phase_re, -t.phase_im               # (F, M, D)
     beta = (1.0 - alpha) / alpha
+    F = sr.shape[1]
 
     # d_0 = a^H P_0 a (the one full quadratic form)
     Pa_re = (jnp.einsum("fmn,fnd->fmd", state.P_re, a_re, precision=prec)
              - jnp.einsum("fmn,fnd->fmd", state.P_im, a_im, precision=prec))
     Pa_im = (jnp.einsum("fmn,fnd->fmd", state.P_re, a_im, precision=prec)
              + jnp.einsum("fmn,fnd->fmd", state.P_im, a_re, precision=prec))
-    d0 = (jnp.einsum("fmd,fmd->fd", a_re, Pa_re, precision=prec)
-          + jnp.einsum("fmd,fmd->fd", a_im, Pa_im, precision=prec))
-
-    # projections: Ps = P_0 S; Y_0 = a^H Ps (F, D, B); y_0 = S^H Ps (F, B, B)
-    Ps_re = (jnp.einsum("fmn,fnb->fmb", state.P_re, Sr, precision=_HI)
-             - jnp.einsum("fmn,fnb->fmb", state.P_im, Si, precision=_HI))
-    Ps_im = (jnp.einsum("fmn,fnb->fmb", state.P_re, Si, precision=_HI)
-             + jnp.einsum("fmn,fnb->fmb", state.P_im, Sr, precision=_HI))
-    Y_re = (jnp.einsum("fmd,fmb->fdb", a_re, Ps_re, precision=prec)
-            + jnp.einsum("fmd,fmb->fdb", a_im, Ps_im, precision=prec))
-    Y_im = (jnp.einsum("fmd,fmb->fdb", a_re, Ps_im, precision=prec)
-            - jnp.einsum("fmd,fmb->fdb", a_im, Ps_re, precision=prec))
-    y_re = (jnp.einsum("fmj,fmb->fjb", Sr, Ps_re, precision=_HI)
-            + jnp.einsum("fmj,fmb->fjb", Si, Ps_im, precision=_HI))
-    y_im = (jnp.einsum("fmj,fmb->fjb", Sr, Ps_im, precision=_HI)
-            - jnp.einsum("fmj,fmb->fjb", Si, Ps_re, precision=_HI))
+    d = (jnp.einsum("fmd,fmd->fd", a_re, Pa_re, precision=prec)
+         + jnp.einsum("fmd,fmd->fd", a_im, Pa_im, precision=prec))
 
     def step(carry, tt):
-        d, Yr, Yi, yr, yi = carry
+        Ar, Ai, yr, yi = carry
         g = jnp.take(jnp.einsum("fbb->fb", yr), tt, axis=1)   # (F,) real
         kappa = (beta / (1.0 + beta * g))                     # (F,)
-        mr = jax.lax.dynamic_index_in_dim(Yr, tt, 2, keepdims=False)
-        mi = jax.lax.dynamic_index_in_dim(Yi, tt, 2, keepdims=False)
-        d = (d - kappa[:, None] * (mr * mr + mi * mi)) / alpha
+        # m_t = Y_{t-1} e_t = Y_0 (A_{t-1} e_t): emit the coefficient
+        # column instead of touching the (F, D, Bc) tensor
+        ar = jax.lax.dynamic_index_in_dim(Ar, tt, 2, keepdims=False)
+        ai = jax.lax.dynamic_index_in_dim(Ai, tt, 2, keepdims=False)
         # row r_j = u^H s_j = s_t^H P_{t-1} s_j = y[t, j]  (P hermitian;
         # NOT conj(y[t, j]) — u^H s_j = conj(s_j^H u) = conj(y[j, t]),
         # and y is hermitian in (j, k))
         rr = jax.lax.dynamic_index_in_dim(yr, tt, 1, keepdims=False)
         ri = jax.lax.dynamic_index_in_dim(yi, tt, 1, keepdims=False)
         k3 = kappa[:, None, None]
-        Yr2 = (Yr - k3 * (mr[:, :, None] * rr[:, None, :]
-                          - mi[:, :, None] * ri[:, None, :])) / alpha
-        Yi2 = (Yi - k3 * (mr[:, :, None] * ri[:, None, :]
-                          + mi[:, :, None] * rr[:, None, :])) / alpha
+        Ar2 = (Ar - k3 * (ar[:, :, None] * rr[:, None, :]
+                          - ai[:, :, None] * ri[:, None, :])) / alpha
+        Ai2 = (Ai - k3 * (ar[:, :, None] * ri[:, None, :]
+                          + ai[:, :, None] * rr[:, None, :])) / alpha
         # y[j, k] <- (y[j, k] - kappa * y[j, t] * conj(y[t, k])) / alpha
         cr = jax.lax.dynamic_index_in_dim(yr, tt, 2, keepdims=False)
         ci = jax.lax.dynamic_index_in_dim(yi, tt, 2, keepdims=False)
@@ -556,17 +574,88 @@ def mvdr_maps_scan(state: PrecisionState, signals: jax.Array,
                           - ci[:, :, None] * ri[:, None, :])) / alpha
         yi2 = (yi - k3 * (cr[:, :, None] * ri[:, None, :]
                           + ci[:, :, None] * rr[:, None, :])) / alpha
-        per_bin = 1.0 / jnp.maximum(d, 1e-12)
-        if bin_weights is not None:     # sharded path: mask padded bins
-            per_bin = per_bin * bin_weights[:, None]
-        power = jnp.sum(per_bin, axis=0)                      # (D,)
-        return (d, Yr2, Yi2, yr2, yi2), power
+        return (Ar2, Ai2, yr2, yi2), (ar, ai, kappa)
 
-    (_, _, _, _, _), maps = jax.lax.scan(
-        step, (d0, Y_re, Y_im, y_re, y_im), jnp.arange(B))
+    CHUNK = 16
+    st = state
+    map_parts = []
+    for c0 in range(0, B, CHUNK):
+        sr_c = sr[c0:c0 + CHUNK]                       # (Bc, F, M)
+        si_c = si[c0:c0 + CHUNK]
+        Bc = sr_c.shape[0]
+        Sr = jnp.moveaxis(sr_c, 0, 2)                  # (F, M, Bc)
+        Si = jnp.moveaxis(si_c, 0, 2)
+        # chunk-start projections from the REAL P: Ps = P S;
+        # Y_0 = a^H Ps (F, D, Bc); y_0 = S^H Ps (F, Bc, Bc)
+        Ps_re = (jnp.einsum("fmn,fnb->fmb", st.P_re, Sr, precision=_HI)
+                 - jnp.einsum("fmn,fnb->fmb", st.P_im, Si, precision=_HI))
+        Ps_im = (jnp.einsum("fmn,fnb->fmb", st.P_re, Si, precision=_HI)
+                 + jnp.einsum("fmn,fnb->fmb", st.P_im, Sr, precision=_HI))
+        Y_re = (jnp.einsum("fmd,fmb->fdb", a_re, Ps_re, precision=prec)
+                + jnp.einsum("fmd,fmb->fdb", a_im, Ps_im, precision=prec))
+        Y_im = (jnp.einsum("fmd,fmb->fdb", a_re, Ps_im, precision=prec)
+                - jnp.einsum("fmd,fmb->fdb", a_im, Ps_re, precision=prec))
+        y_re = (jnp.einsum("fmj,fmb->fjb", Sr, Ps_re, precision=_HI)
+                + jnp.einsum("fmj,fmb->fjb", Si, Ps_im, precision=_HI))
+        y_im = (jnp.einsum("fmj,fmb->fjb", Sr, Ps_im, precision=_HI)
+                - jnp.einsum("fmj,fmb->fjb", Si, Ps_re, precision=_HI))
+
+        A0_re = jnp.broadcast_to(jnp.eye(Bc, dtype=jnp.float32),
+                                 (F, Bc, Bc))
+        (_, _, _, _), (ar_all, ai_all, kap_all) = jax.lax.scan(
+            step, (A0_re + 0.0, jnp.zeros((F, Bc, Bc), jnp.float32),
+                   y_re, y_im), jnp.arange(Bc))
+        Ac_re = jnp.moveaxis(ar_all, 0, 2)             # (F, Bc, step)
+        Ac_im = jnp.moveaxis(ai_all, 0, 2)
+        kap = jnp.moveaxis(kap_all, 0, 1)              # (F, Bc)
+
+        # every frame's m_t in one batched matmul against the projections
+        Mr = (jnp.einsum("fdb,fbt->fdt", Y_re, Ac_re, precision=_HI)
+              - jnp.einsum("fdb,fbt->fdt", Y_im, Ac_im, precision=_HI))
+        Mi = (jnp.einsum("fdb,fbt->fdt", Y_re, Ac_im, precision=_HI)
+              + jnp.einsum("fdb,fbt->fdt", Y_im, Ac_re, precision=_HI))
+        steps = jnp.arange(Bc, dtype=jnp.float32)
+        qw = (Mr * Mr + Mi * Mi) * (kap * alpha ** steps)[:, None, :]
+        # running sum_{s<=t} as a triangular matmul: one HBM pass
+        # (cumsum lowers to log-depth passes over the (F, D, Bc) tensor)
+        tril = jnp.tril(jnp.ones((Bc, Bc), jnp.float32)).T  # (s,t): s<=t
+        cum = jnp.einsum("fds,st->fdt", qw, tril, precision=_HI)
+        d_all = (d[:, :, None] - cum) * alpha ** -(steps + 1.0)
+        per_bin = 1.0 / jnp.maximum(d_all, 1e-12)      # (F, D, Bc)
+        if bin_weights is not None:     # sharded path: mask padded bins
+            per_bin = per_bin * bin_weights[:, None, None]
+        map_parts.append(jnp.moveaxis(jnp.sum(per_bin, axis=0), 1, 0))
+        # Re-ANCHOR d across the chunk boundary instead of carrying the
+        # recursion (whose relative error compounds at ~alpha^-1/frame):
+        # with the Woodbury step P' = (P - V K^{-1} V^H)/a^Bc,
+        #   a^H P' a = (d_cs - (a^H V) K^{-1} (V^H a)) / a^Bc
+        # and a^H V = Y_0 diag(w), U^H V = diag(w) y_0 diag(w) — both
+        # already measured, so the anchor costs one (F, Bc, Bc)
+        # hermitian solve + two thin contractions.
+        w = jnp.sqrt((1.0 - alpha)
+                     * alpha ** (Bc - 1.0 - jnp.arange(Bc,
+                                                       dtype=jnp.float32)))
+        aBc = alpha ** Bc
+        AVr = Y_re * w[None, None, :]                  # (F, D, Bc)
+        AVi = Y_im * w[None, None, :]
+        Gr = y_re * (w[:, None] * w[None, :])
+        Gi = y_im * (w[:, None] * w[None, :])
+        Kr = aBc * jnp.broadcast_to(jnp.eye(Bc, dtype=jnp.float32),
+                                    Gr.shape) + Gr
+        # RHS: V^H a = (a^H V)^H  -> (F, Bc, D)
+        Zr, Zi = _solve_hermitian(Kr, Gi, jnp.swapaxes(AVr, 1, 2),
+                                  -jnp.swapaxes(AVi, 1, 2))
+        quad = (jnp.einsum("fdb,fbd->fd", AVr, Zr, precision=_HI)
+                - jnp.einsum("fdb,fbd->fd", AVi, Zi, precision=_HI))
+        d = (d - quad) / aBc
+        # P advances by the exact rank-Bc Woodbury update so the next
+        # chunk's projections are measured, not mixed
+        st = _update_precision_block_sp(st, sr_c, si_c, alpha)
+
+    maps = jnp.concatenate(map_parts, axis=0) if len(map_parts) > 1 \
+        else map_parts[0]
     maps = maps.reshape(B, t.res_x, t.res_y)
-    new_state = update_precision_block(state, signals, t, alpha=alpha)
-    return maps, new_state
+    return maps, st
 
 
 @jax.jit
