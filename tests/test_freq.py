@@ -412,6 +412,90 @@ def test_mvdr_maps_scan_deep_block(tiny_cfg, rng):
                                rtol=1e-3, atol=2e-4)
 
 
+def test_refresh_interval_bounds_long_run_drift(tiny_cfg, rng):
+    """The refresh cadence MUST be alpha-aware: every recursion step
+    amplifies f32 rounding error by 1/alpha, so at alpha=0.9 a fixed
+    256-frame interval overflows to NaN maps around frame ~110 (then the
+    1e-12 denominator clamp sprays 1e12 spikes), while the
+    freq.refresh_interval cadence tracks the exact loaded f64 estimator
+    at the ~1e-3 level indefinitely.  320 frames in 16-frame blocks —
+    the production full-rate shape."""
+    cfg = tiny_cfg
+    alpha = 0.9
+    t = freq.make_freq_tables(cfg, 2000.0, 20000.0)
+    NB, B = 20, 16
+    frames = np.stack([
+        synth_frame(cfg, rng, freq=2300.0 + 37.0 * i)
+        + 0.03 * rng.standard_normal(
+            (cfg.n_microphones, cfg.n_samples)).astype(np.float32)
+        for i in range(NB * B)])
+
+    def run(every):
+        st = freq.init_precision(t)
+        out, n, r = [], 0, 0
+        for b in range(NB):
+            m, st = freq.mvdr_maps_scan(st, frames[b * B:(b + 1) * B], t,
+                                        alpha=alpha)
+            out.append(np.asarray(m).reshape(B, -1))
+            n += B
+            if n - r >= every:
+                st = freq.refresh_precision(st, t)
+                r = n
+        return np.concatenate(out)
+
+    # the old fixed cadence is broken at alpha=0.9: NaN maps mid-run
+    assert np.isnan(run(256)).any(), \
+        "if this starts passing, tighten refresh_interval's rationale"
+
+    every = freq.refresh_interval(alpha)
+    assert 32 <= every <= 128            # ~70 at alpha=0.9
+    maps = run(every)
+    assert np.isfinite(maps).all()
+
+    # f64 SAME-TRAJECTORY oracle: identical recursion (per-frame
+    # Sherman-Morrison + EMA covariance with first-frame replacement)
+    # and identical refresh points, in complex128 — so the comparison
+    # isolates f32 ROUNDING drift from the (by-design) mid-interval
+    # load decay of the RLS estimator.
+    import jax.numpy as jnp
+    sr, si = freq._frame_fft(jnp.asarray(frames), t)
+    S = (np.asarray(sr).astype(np.float64)
+         + 1j * np.asarray(si).astype(np.float64))
+    a = (np.asarray(t.phase_re).astype(np.float64)
+         - 1j * np.asarray(t.phase_im).astype(np.float64))
+    load = float(np.asarray(freq.init_precision(t).load))
+    F, M = S.shape[1], S.shape[2]
+    eyeM = np.broadcast_to(np.eye(M), (F, M, M))
+    cov = eyeM.astype(np.complex128)          # init_covariance
+    P = eyeM / (1.0 + load) + 0j
+    beta = (1 - alpha) / alpha
+    errs, n, r = [], 0, 0
+    for tt in range(NB * B):
+        s_t = S[tt]
+        Ps = np.einsum("fmn,fn->fm", P, s_t)
+        g = np.real(np.einsum("fm,fm->f", np.conj(s_t), Ps))
+        kappa = beta / (1 + beta * g)
+        P = (P - kappa[:, None, None] * Ps[:, :, None]
+             * np.conj(Ps)[:, None, :]) / alpha
+        outer = s_t[:, :, None] * np.conj(s_t)[:, None, :]
+        cov = outer if tt == 0 else alpha * cov + (1 - alpha) * outer
+        Pa = np.einsum("fmn,fnd->fmd", P, a)
+        d = np.real(np.einsum("fmd,fmd->fd", np.conj(a), Pa))
+        truth = (1.0 / np.maximum(d, 1e-12)).sum(axis=0)
+        errs.append(np.max(np.abs(maps[tt] - truth)
+                           / (np.abs(truth) + 1e-12)))
+        n += 1
+        if n % B == 0 and n - r >= every:     # same block-refresh points
+            # trace-scaled loading, matching freq._loaded
+            lf = load * np.real(np.einsum("fmm->f", cov)) / M + 1e-12
+            P = np.linalg.inv(cov + lf[:, None, None] * eyeM)
+            r = n
+    # measured: ~1.9e-2 worst-direction at the end of a refresh
+    # interval (63 frames of alpha^-1 amplification), argmax exact on
+    # every frame; the broken 256-cadence NaNs out instead
+    assert max(errs) < 0.05, (max(errs), int(np.argmax(errs)))
+
+
 def test_precision_refresh_bounds_drift(tiny_cfg, rng):
     """refresh_precision re-factorizes P from the co-tracked covariance."""
     cfg = tiny_cfg

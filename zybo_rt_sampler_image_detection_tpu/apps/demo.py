@@ -70,12 +70,14 @@ def _make_pipeline(args, audio_sink="null", audio_path=None,
         # maps + one rank-B Woodbury state update per batch (2,187
         # maps/s at the reference shape vs 215 for the sequential loop).
         # Single-frame calls (the live loop) use the per-frame recursion.
-        # An exact Cholesky refresh bounds f32 drift; its interval scales
-        # with the batch size (block updates drift ~B x less per frame,
-        # and at full rate a refresh is a real stall).
+        # An exact Cholesky refresh bounds f32 drift; the cadence MUST
+        # scale with alpha — every recursion step amplifies rounding
+        # error by 1/alpha, so a fixed 256-frame interval NaN'd out
+        # around frame 110 at the default alpha=0.9 (freq.refresh_interval).
         from ..ops import freq
         tables = freq.make_freq_tables(cfg, 100.0)
         state = {"p": freq.init_precision(tables), "n": 0, "r": 0}
+        refresh_every = freq.refresh_interval()
 
         def power_fn(f, _t=tables, _s=state):
             if f.ndim == 3:
@@ -85,8 +87,7 @@ def _make_pipeline(args, audio_sink="null", audio_path=None,
                 _s["p"] = freq.update_precision(_s["p"], f, _t)
                 _s["n"] += 1
                 maps = freq.mvdr_power_precision(_s["p"], _t)
-            if _s["n"] - _s["r"] >= 256 * max(
-                    1, (f.shape[0] if f.ndim == 3 else 1) // 8):
+            if _s["n"] - _s["r"] >= refresh_every:
                 _s["p"] = freq.refresh_precision(_s["p"], _t)
                 _s["r"] = _s["n"]
             return maps

@@ -818,13 +818,16 @@ class Pipeline:
                                            ((0, 0), (0, pad), (0, 0)))
                 return freq.mvdr_listen_step(st, frames, t, d, alpha=alpha)
 
+            refresh_every = freq.refresh_interval(alpha)
+
             def beam_fn(frames, d, _t=ft, _s=state):
                 beams, _s["p"] = _step(_s["p"], frames, _t, d, alpha)
                 _s["n"] += frames.shape[0]
-                # exact Cholesky refresh bounds f32 drift; interval
-                # scales with the block size (block updates drift ~B x
-                # less per frame — see demo.py mvdr power_fn)
-                if _s["n"] - _s["r"] >= 256 * max(1, frames.shape[0] // 8):
+                # exact Cholesky refresh bounds f32 drift; the cadence
+                # MUST scale with alpha (every recursion step amplifies
+                # rounding error by 1/alpha — a fixed 256-frame interval
+                # NaN'd out around frame 110 at alpha=0.9)
+                if _s["n"] - _s["r"] >= refresh_every:
                     _s["p"] = freq.refresh_precision(_s["p"], _t)
                     _s["r"] = _s["n"]
                 return beams
@@ -920,10 +923,13 @@ class Pipeline:
                 beams = freq.mvdr_beam_precision(st2, t, frames, d)
                 return maps, beams, st2
 
+            refresh_every = freq.refresh_interval(alpha)
+
             def process_fn(frames, d, _t=ft, _s=state):
                 maps, beams, _s["p"] = _step(_s["p"], frames, _t, d, alpha)
                 _s["n"] += frames.shape[0]
-                if _s["n"] - _s["r"] >= 256 * max(1, frames.shape[0] // 8):
+                # alpha-aware cadence — see make_miso_batched
+                if _s["n"] - _s["r"] >= refresh_every:
                     _s["p"] = freq.refresh_precision(_s["p"], _t)
                     _s["r"] = _s["n"]
                 return maps, beams

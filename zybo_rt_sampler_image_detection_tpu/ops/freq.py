@@ -658,10 +658,33 @@ def mvdr_maps_scan(state: PrecisionState, signals: jax.Array,
     return maps, st
 
 
+def refresh_interval(alpha: float = 0.9) -> int:
+    """Max frames between :func:`refresh_precision` calls before f32
+    recursion drift becomes visible.
+
+    Every Sherman-Morrison / Woodbury step divides P by ``alpha``, so
+    rounding error in directions the data does not strongly re-excite is
+    AMPLIFIED by ``alpha^-1`` per frame: after T frames the drift is
+    ~``eps * alpha^-T``.  Demanding that stay under ~1e-4 gives
+    ``T <= log(1e-4 / eps) / log(1/alpha)`` — about 64 frames at the
+    production ``alpha=0.9`` (f32 eps ~1.2e-7), NOT the few hundred a
+    fixed cadence assumes.  Measured: at alpha=0.9 a 256-frame cadence
+    let the recursion overflow to NaN maps by frame ~110 (the 1e-12
+    denominator clamp then sprays 1e12 spikes); the 64-frame cadence
+    holds worst-direction map error to ~2e-2 at interval end (exact
+    argmax on every frame) indefinitely
+    (tests/test_freq.py::test_refresh_interval_bounds_long_run_drift).
+    """
+    eps = 1.2e-7                      # f32 unit roundoff, one guard bit
+    budget = float(np.log(1e-4 / eps))
+    rate = max(float(np.log(1.0 / alpha)), 1e-9)
+    return int(max(16, min(512, budget / rate)))
+
+
 @jax.jit
 def refresh_precision(state: PrecisionState, t: FreqTables) -> PrecisionState:
     """Exact re-factorization of P from the co-tracked covariance — run
-    every few hundred frames to bound f32 Sherman-Morrison drift."""
+    every :func:`refresh_interval` frames to bound f32 recursion drift."""
     R_re, R_im = _loaded(state.cov, state.load)
     F, M, _ = R_re.shape
     eye = jnp.broadcast_to(jnp.eye(M, dtype=jnp.float32), (F, M, M))
