@@ -230,15 +230,30 @@ def main() -> None:
         lambda s: mvdr_scan(s, fr_small, ft), freq.init_precision(ft), K,
         key="mvdr_rls_per_frame_reference_shape")
 
-    # subspace-recursive scan: EXACT per-frame Capon maps + one rank-B
-    # Woodbury state update per block (the sequential recursion is
-    # HBM-bound on the (F, M, M) state and re-evaluates the full
-    # quadratic form per frame)
-    K2 = 64
-    fr_blk = jax.device_put(np.asarray(frames_ref[:K2]))
+    # subspace-recursive scan, PRODUCTION steady state: 16-frame blocks
+    # with the a^H P a quadratic form carried between calls (re-measured
+    # every d0_carry_interval frames) and the exact Cholesky refresh at
+    # the alpha-aware cadence — one full 64-frame refresh epoch per
+    # step_fn call, exactly the process_fn sequence in apps/pipeline.py
+    Kb = 16
+    fr_blks = [jax.device_put(np.asarray(frames_ref[i * Kb:(i + 1) * Kb]))
+               for i in range(4)]
+    carry_max = freq.d0_carry_interval()       # ~31 at alpha=0.9
+    assert 16 <= carry_max < 4 * Kb            # d0 re-measured mid-epoch
+
+    def mvdr_epoch(st):
+        maps = None
+        dq, dqc = None, 0
+        for blk in fr_blks:
+            if dq is None or dqc >= carry_max:
+                dq, dqc = freq.mvdr_d0(st, ft), 0
+            maps, st, dq = freq.mvdr_maps_scan(st, blk, ft, d0=dq,
+                                               return_d=True)
+            dqc += Kb
+        return freq.refresh_precision(st, ft), maps
+
     ladder["mvdr_exact_per_frame_maps_reference_shape"] = timed_stateful(
-        lambda s: freq.mvdr_maps_scan(s, fr_blk, ft)[::-1],
-        freq.init_precision(ft), K2,
+        mvdr_epoch, freq.init_precision(ft), 4 * Kb,
         key="mvdr_exact_per_frame_maps_reference_shape")
 
     value = ladder["high"]

@@ -412,6 +412,38 @@ def test_mvdr_maps_scan_deep_block(tiny_cfg, rng):
                                rtol=1e-3, atol=2e-4)
 
 
+def test_mvdr_maps_scan_carried_d_matches_blocked(tiny_cfg, rng):
+    """Streaming carry: four B=16 calls threading d0/return_d run the
+    SAME op sequence as one B=64 call (the chunk boundary and the call
+    boundary are the same code path), so the O(F M^2 D) quadratic form
+    runs once instead of four times.  Exact equality is impossible —
+    the standalone-jitted mvdr_d0 fuses/reassociates differently than
+    the inlined evaluation (ulp level), and any ulp at frame 0
+    amplifies by ~alpha^-t (850x over the 64-frame window) — so the
+    gate is ulp-amplification-scale on the first block and drift-scale
+    on the rest (measured 2.6e-4 / 1.4e-2)."""
+    cfg = tiny_cfg
+    t = freq.make_freq_tables(cfg, 2000.0, 20000.0)
+    frames = np.stack([synth_frame(cfg, rng, freq=2500.0 + 120.0 * i)
+                       for i in range(64)])
+    st0 = freq.init_precision(t, load=1e-2)
+    ref, st_ref = freq.mvdr_maps_scan(st0, frames, t, alpha=0.9)
+
+    st = st0
+    dq = freq.mvdr_d0(st, t)
+    parts = []
+    for b in range(4):
+        m, st, dq = freq.mvdr_maps_scan(st, frames[b * 16:(b + 1) * 16],
+                                        t, alpha=0.9, d0=dq, return_d=True)
+        parts.append(np.asarray(m))
+    got = np.concatenate(parts)
+    np.testing.assert_allclose(got[:16], np.asarray(ref)[:16],
+                               rtol=1e-3, atol=1e-8)
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=5e-2, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st.P_re), np.asarray(st_ref.P_re),
+                               rtol=5e-2, atol=1e-4)
+
+
 def test_refresh_interval_bounds_long_run_drift(tiny_cfg, rng):
     """The refresh cadence MUST be alpha-aware: every recursion step
     amplifies f32 rounding error by 1/alpha, so at alpha=0.9 a fixed
@@ -431,15 +463,24 @@ def test_refresh_interval_bounds_long_run_drift(tiny_cfg, rng):
         for i in range(NB * B)])
 
     def run(every):
+        # mirrors the production process_fn: dq carried between calls
+        # up to d0_carry_interval frames, re-measured after refresh
+        carry_max = freq.d0_carry_interval(alpha)
         st = freq.init_precision(t)
-        out, n, r = [], 0, 0
+        out, n, r, dq, dqc = [], 0, 0, None, 0
         for b in range(NB):
-            m, st = freq.mvdr_maps_scan(st, frames[b * B:(b + 1) * B], t,
-                                        alpha=alpha)
+            if dq is None or dqc >= carry_max:
+                dq = freq.mvdr_d0(st, t)
+                dqc = 0
+            m, st, dq = freq.mvdr_maps_scan(st, frames[b * B:(b + 1) * B],
+                                            t, alpha=alpha, d0=dq,
+                                            return_d=True)
             out.append(np.asarray(m).reshape(B, -1))
             n += B
+            dqc += B
             if n - r >= every:
                 st = freq.refresh_precision(st, t)
+                dq = None
                 r = n
         return np.concatenate(out)
 

@@ -79,25 +79,38 @@ def _make_pipeline(args, audio_sink="null", audio_path=None,
         state = {"p": freq.init_precision(tables), "n": 0, "r": 0}
         refresh_every = freq.refresh_interval()
 
+        carry_max = freq.d0_carry_interval()
+
         def power_fn(f, _t=tables, _s=state):
             if f.ndim == 3:
-                maps, _s["p"] = freq.mvdr_maps_scan(_s["p"], f, _t)
+                # carry the a^H P a quadratic form across blocks (it is
+                # ~84% of a 16-frame block's FLOPs at the reference
+                # shape), re-measuring every d0_carry_interval frames
+                if _s.get("dq") is None or _s.get("dqc", 0) >= carry_max:
+                    _s["dq"] = freq.mvdr_d0(_s["p"], _t)
+                    _s["dqc"] = 0
+                maps, _s["p"], _s["dq"] = freq.mvdr_maps_scan(
+                    _s["p"], f, _t, d0=_s["dq"], return_d=True)
                 _s["n"] += f.shape[0]
+                _s["dqc"] += f.shape[0]
             else:
                 _s["p"] = freq.update_precision(_s["p"], f, _t)
                 _s["n"] += 1
                 maps = freq.mvdr_power_precision(_s["p"], _t)
             if _s["n"] - _s["r"] >= refresh_every:
                 _s["p"] = freq.refresh_precision(_s["p"], _t)
+                _s["dq"] = None            # re-measure from refreshed P
                 _s["r"] = _s["n"]
             return maps
 
         def _reset(_t=tables, _s=state):
             # drop warmup pollution (a zero block scales P by alpha^-B)
-            # and compile the periodic-refresh program NOW — a mid-run
-            # compile stalls the full-rate stage for seconds
+            # and compile the periodic programs NOW — a mid-run compile
+            # stalls the full-rate stage for seconds
             _s["p"] = freq.init_precision(_t)
             freq.refresh_precision(_s["p"], _t).P_re.block_until_ready()
+            freq.mvdr_d0(_s["p"], _t).block_until_ready()
+            _s["dq"] = None
             _s["n"] = _s["r"] = 0
 
         power_fn.reset = _reset

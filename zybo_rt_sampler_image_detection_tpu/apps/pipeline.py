@@ -913,30 +913,45 @@ class Pipeline:
             state = {"p": freq.init_precision(ft), "n": 0, "r": 0}
 
             @partial(jax.jit, static_argnames=("alpha",))
-            def _step(st, frames, t, d, alpha):
+            def _step(st, dq, frames, t, d, alpha):
                 frames = frames.astype(jax.numpy.float32)
                 pad = n_full - frames.shape[1]
                 if pad > 0:
                     frames = jax.numpy.pad(frames,
                                            ((0, 0), (0, pad), (0, 0)))
-                maps, st2 = freq.mvdr_maps_scan(st, frames, t, alpha=alpha)
+                # dq (the a^H P a quadratic form) carries across blocks
+                # within a refresh epoch — the O(F M^2 D) evaluation
+                # (~84% of a 16-frame block) runs only after refresh
+                maps, st2, dq2 = freq.mvdr_maps_scan(
+                    st, frames, t, alpha=alpha, d0=dq, return_d=True)
                 beams = freq.mvdr_beam_precision(st2, t, frames, d)
-                return maps, beams, st2
+                return maps, beams, st2, dq2
 
             refresh_every = freq.refresh_interval(alpha)
+            carry_max = freq.d0_carry_interval(alpha)
 
             def process_fn(frames, d, _t=ft, _s=state):
-                maps, beams, _s["p"] = _step(_s["p"], frames, _t, d, alpha)
+                if _s.get("dq") is None or _s.get("dqc", 0) >= carry_max:
+                    _s["dq"] = freq.mvdr_d0(_s["p"], _t)
+                    _s["dqc"] = 0
+                maps, beams, _s["p"], _s["dq"] = _step(
+                    _s["p"], _s["dq"], frames, _t, d, alpha)
                 _s["n"] += frames.shape[0]
+                _s["dqc"] += frames.shape[0]
                 # alpha-aware cadence — see make_miso_batched
                 if _s["n"] - _s["r"] >= refresh_every:
                     _s["p"] = freq.refresh_precision(_s["p"], _t)
+                    _s["dq"] = None        # re-measure from refreshed P
                     _s["r"] = _s["n"]
                 return maps, beams
 
             def _reset(_t=ft, _s=state):
                 _s["p"] = freq.init_precision(_t)
+                # precompile the periodic programs NOW (mid-run first
+                # compiles stall the full-rate stage)
                 freq.refresh_precision(_s["p"], _t).P_re.block_until_ready()
+                freq.mvdr_d0(_s["p"], _t).block_until_ready()
+                _s["dq"] = None
                 _s["n"] = _s["r"] = 0
 
             process_fn.reset = _reset

@@ -477,11 +477,35 @@ def _update_precision_block_sp(state: PrecisionState, sr: jax.Array,
     return PrecisionState(P_re=P_re, P_im=P_im, cov=cov, load=state.load)
 
 
-@partial(jax.jit, static_argnames=("alpha", "grid_precision"))
+@partial(jax.jit, static_argnames=("grid_precision",))
+def mvdr_d0(state: PrecisionState, t: FreqTables,
+            grid_precision: str = "high") -> jax.Array:
+    """The full Capon quadratic form ``d = a^H P a`` (F, D) — the
+    expensive O(F M^2 D) evaluation :func:`mvdr_maps_scan` needs once
+    per streaming epoch.  Callers that process consecutive blocks carry
+    the returned ``d`` between calls (``d0=``/``return_d=``) and only
+    re-evaluate here after :func:`refresh_precision`: at the reference
+    shape this evaluation is ~84%% of a 16-frame block's FLOPs."""
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[grid_precision]
+    a_re, a_im = t.phase_re, -t.phase_im               # (F, M, D)
+    Pa_re = (jnp.einsum("fmn,fnd->fmd", state.P_re, a_re, precision=prec)
+             - jnp.einsum("fmn,fnd->fmd", state.P_im, a_im, precision=prec))
+    Pa_im = (jnp.einsum("fmn,fnd->fmd", state.P_re, a_im, precision=prec)
+             + jnp.einsum("fmn,fnd->fmd", state.P_im, a_re, precision=prec))
+    return (jnp.einsum("fmd,fmd->fd", a_re, Pa_re, precision=prec)
+            + jnp.einsum("fmd,fmd->fd", a_im, Pa_im, precision=prec))
+
+
+@partial(jax.jit,
+         static_argnames=("alpha", "grid_precision", "return_d"))
 def mvdr_maps_scan(state: PrecisionState, signals: jax.Array,
                    t: FreqTables, alpha: float = 0.9,
                    grid_precision: str = "high",
-                   bin_weights: Optional[jax.Array] = None):
+                   bin_weights: Optional[jax.Array] = None,
+                   d0: Optional[jax.Array] = None,
+                   return_d: bool = False):
     """EXACT per-frame Capon maps for a B-frame batch at ~the cost of one.
 
     The sequential path (``update_precision`` + ``mvdr_power_precision``
@@ -525,10 +549,19 @@ def mvdr_maps_scan(state: PrecisionState, signals: jax.Array,
     FLOPs are unchanged (projections are per-frame-linear); only the
     (F, M, M) state streams once per chunk instead of once per block.
 
+    STREAMING CALLERS: the final anchored ``d`` is itself next block's
+    ``d_0``.  Pass ``return_d=True`` to get it back and feed it as
+    ``d0=`` on the next call — the O(F M^2 D) quadratic form (84%% of a
+    16-frame block's FLOPs at the reference shape) then runs only once
+    per refresh epoch (:func:`mvdr_d0` after :func:`refresh_precision`;
+    :func:`refresh_interval` bounds the carry depth so f32 drift stays
+    at the level the long-run test gates).
+
     Returns ``(maps (B, X, Y), new_state)`` — frame t's map reflects the
     state AFTER absorbing frames 0..t, exactly like the sequential loop;
     ``new_state`` comes from composing the per-chunk rank-16 Woodbury
-    block updates (the same posterior).
+    block updates (the same posterior).  With ``return_d=True`` the
+    return is ``(maps, new_state, d)``.
     """
     prec = {"highest": jax.lax.Precision.HIGHEST,
             "high": jax.lax.Precision.HIGH,
@@ -541,13 +574,8 @@ def mvdr_maps_scan(state: PrecisionState, signals: jax.Array,
     beta = (1.0 - alpha) / alpha
     F = sr.shape[1]
 
-    # d_0 = a^H P_0 a (the one full quadratic form)
-    Pa_re = (jnp.einsum("fmn,fnd->fmd", state.P_re, a_re, precision=prec)
-             - jnp.einsum("fmn,fnd->fmd", state.P_im, a_im, precision=prec))
-    Pa_im = (jnp.einsum("fmn,fnd->fmd", state.P_re, a_im, precision=prec)
-             + jnp.einsum("fmn,fnd->fmd", state.P_im, a_re, precision=prec))
-    d = (jnp.einsum("fmd,fmd->fd", a_re, Pa_re, precision=prec)
-         + jnp.einsum("fmd,fmd->fd", a_im, Pa_im, precision=prec))
+    # d_0 = a^H P_0 a (the one full quadratic form), unless carried in
+    d = mvdr_d0(state, t, grid_precision) if d0 is None else d0
 
     def step(carry, tt):
         Ar, Ai, yr, yi = carry
@@ -625,29 +653,31 @@ def mvdr_maps_scan(state: PrecisionState, signals: jax.Array,
         if bin_weights is not None:     # sharded path: mask padded bins
             per_bin = per_bin * bin_weights[:, None, None]
         map_parts.append(jnp.moveaxis(jnp.sum(per_bin, axis=0), 1, 0))
-        # Re-ANCHOR d across the chunk boundary instead of carrying the
-        # recursion (whose relative error compounds at ~alpha^-1/frame):
-        # with the Woodbury step P' = (P - V K^{-1} V^H)/a^Bc,
-        #   a^H P' a = (d_cs - (a^H V) K^{-1} (V^H a)) / a^Bc
-        # and a^H V = Y_0 diag(w), U^H V = diag(w) y_0 diag(w) — both
-        # already measured, so the anchor costs one (F, Bc, Bc)
-        # hermitian solve + two thin contractions.
-        w = jnp.sqrt((1.0 - alpha)
-                     * alpha ** (Bc - 1.0 - jnp.arange(Bc,
-                                                       dtype=jnp.float32)))
-        aBc = alpha ** Bc
-        AVr = Y_re * w[None, None, :]                  # (F, D, Bc)
-        AVi = Y_im * w[None, None, :]
-        Gr = y_re * (w[:, None] * w[None, :])
-        Gi = y_im * (w[:, None] * w[None, :])
-        Kr = aBc * jnp.broadcast_to(jnp.eye(Bc, dtype=jnp.float32),
-                                    Gr.shape) + Gr
-        # RHS: V^H a = (a^H V)^H  -> (F, Bc, D)
-        Zr, Zi = _solve_hermitian(Kr, Gi, jnp.swapaxes(AVr, 1, 2),
-                                  -jnp.swapaxes(AVi, 1, 2))
-        quad = (jnp.einsum("fdb,fbd->fd", AVr, Zr, precision=_HI)
-                - jnp.einsum("fdb,fbd->fd", AVi, Zi, precision=_HI))
-        d = (d - quad) / aBc
+        last = c0 + CHUNK >= B
+        if not last or return_d:
+            # Re-ANCHOR d across the chunk boundary instead of carrying
+            # the recursion (whose relative error compounds at
+            # ~alpha^-1/frame): with P' = (P - V K^{-1} V^H)/a^Bc,
+            #   a^H P' a = (d_cs - (a^H V) K^{-1} (V^H a)) / a^Bc
+            # and a^H V = Y_0 diag(w), U^H V = diag(w) y_0 diag(w) —
+            # both already measured, so the anchor costs one (F, Bc, Bc)
+            # hermitian solve + two thin contractions.
+            w = jnp.sqrt((1.0 - alpha)
+                         * alpha ** (Bc - 1.0
+                                     - jnp.arange(Bc, dtype=jnp.float32)))
+            aBc = alpha ** Bc
+            AVr = Y_re * w[None, None, :]              # (F, D, Bc)
+            AVi = Y_im * w[None, None, :]
+            Gr = y_re * (w[:, None] * w[None, :])
+            Gi = y_im * (w[:, None] * w[None, :])
+            Kr = aBc * jnp.broadcast_to(jnp.eye(Bc, dtype=jnp.float32),
+                                        Gr.shape) + Gr
+            # RHS: V^H a = (a^H V)^H  -> (F, Bc, D)
+            Zr, Zi = _solve_hermitian(Kr, Gi, jnp.swapaxes(AVr, 1, 2),
+                                      -jnp.swapaxes(AVi, 1, 2))
+            quad = (jnp.einsum("fdb,fbd->fd", AVr, Zr, precision=_HI)
+                    - jnp.einsum("fdb,fbd->fd", AVi, Zi, precision=_HI))
+            d = (d - quad) / aBc
         # P advances by the exact rank-Bc Woodbury update so the next
         # chunk's projections are measured, not mixed
         st = _update_precision_block_sp(st, sr_c, si_c, alpha)
@@ -655,6 +685,8 @@ def mvdr_maps_scan(state: PrecisionState, signals: jax.Array,
     maps = jnp.concatenate(map_parts, axis=0) if len(map_parts) > 1 \
         else map_parts[0]
     maps = maps.reshape(B, t.res_x, t.res_y)
+    if return_d:
+        return maps, st, d
     return maps, st
 
 
@@ -679,6 +711,19 @@ def refresh_interval(alpha: float = 0.9) -> int:
     budget = float(np.log(1e-4 / eps))
     rate = max(float(np.log(1.0 / alpha)), 1e-9)
     return int(max(16, min(512, budget / rate)))
+
+
+def d0_carry_interval(alpha: float = 0.9) -> int:
+    """Max frames to carry :func:`mvdr_maps_scan`'s ``d`` between calls
+    before re-measuring with :func:`mvdr_d0` — HALF the refresh
+    interval.  The carried d's per-step correction errors amplify by
+    ``alpha^-1`` per frame exactly like the state drift, but from a
+    ~1e-5 seed (einsum rounding) instead of eps, so it tolerates half
+    the exponent budget.  Measured at alpha=0.9 vs a float64
+    same-trajectory oracle: carry 32 = per-block accuracy (1.8e-2 worst
+    direction at epoch end), carry 48 = 6e-2, carry 64 overflows the
+    denominator clamp (tests/test_freq.py long-run gate)."""
+    return max(16, refresh_interval(alpha) // 2)
 
 
 @jax.jit
