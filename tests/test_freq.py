@@ -537,6 +537,48 @@ def test_refresh_interval_bounds_long_run_drift(tiny_cfg, rng):
     assert max(errs) < 0.05, (max(errs), int(np.argmax(errs)))
 
 
+def test_refresh_interval_bounds_listening_drift(tiny_cfg, rng):
+    """The adaptive-LISTENING path shares the drifting recursion: at the
+    old fixed 256-frame cadence the beam weights overflow (measured
+    |beam| ~1e11 then NaN — full-scale garbage into the audio sink); at
+    the alpha-aware cadence 320 frames of steered listening stay finite,
+    bounded, and correlated with the steered tone."""
+    cfg = tiny_cfg
+    alpha = 0.9
+    t = freq.make_freq_tables(cfg, 100.0)
+    NB, B = 20, 16
+    tt = np.arange(cfg.n_samples) / cfg.sample_rate
+    tone = np.sin(2 * np.pi * 2500.0 * tt).astype(np.float32)
+    frames = np.stack([
+        (np.tile(tone, (cfg.n_microphones, 1)) * 0.2
+         + 0.02 * rng.standard_normal((cfg.n_microphones, cfg.n_samples))
+         ).astype(np.float32) for _ in range(NB * B)])
+    d_center = (t.res_x // 2) * t.res_y + t.res_y // 2
+
+    def run(every):
+        st = freq.init_precision(t)
+        outs, n, r = [], 0, 0
+        for b in range(NB):
+            beams, st = freq.mvdr_listen_step(
+                st, frames[b * B:(b + 1) * B], t, d_center, alpha=alpha)
+            outs.append(np.asarray(beams))
+            n += B
+            if n - r >= every:
+                st = freq.refresh_precision(st, t)
+                r = n
+        return np.concatenate(outs)
+
+    bad = run(256)
+    assert not np.isfinite(bad).all(), \
+        "if this starts passing, revisit refresh_interval's rationale"
+
+    beams = run(freq.refresh_interval(alpha))
+    assert np.isfinite(beams).all()
+    assert np.max(np.abs(beams)) < 10.0
+    corr = np.corrcoef(beams[-16:].ravel(), np.tile(tone, 16))[0, 1]
+    assert corr > 0.5, corr
+
+
 def test_precision_refresh_bounds_drift(tiny_cfg, rng):
     """refresh_precision re-factorizes P from the co-tracked covariance."""
     cfg = tiny_cfg
