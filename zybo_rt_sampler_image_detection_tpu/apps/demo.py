@@ -96,6 +96,7 @@ def _make_pipeline(args, audio_sink="null", audio_path=None,
             else:
                 _s["p"] = freq.update_precision(_s["p"], f, _t)
                 _s["n"] += 1
+                _s["dq"] = None   # P moved outside the carried recursion
                 maps = freq.mvdr_power_precision(_s["p"], _t)
             if _s["n"] - _s["r"] >= refresh_every:
                 _s["p"] = freq.refresh_precision(_s["p"], _t)
