@@ -67,8 +67,10 @@ def _make_pipeline(args, audio_sink="null", audio_path=None,
     elif algorithm == "mvdr":
         # streaming-inverse (RLS) MVDR.  Batched calls (the full-rate
         # stage) use the subspace-recursive scan: EXACT per-frame Capon
-        # maps + one rank-B Woodbury state update per batch (2,187
-        # maps/s at the reference shape vs 215 for the sequential loop).
+        # maps + one rank-B Woodbury state update per batch (round-2
+        # measurement: 2,187 maps/s at the reference shape vs 215 for
+        # the sequential loop; round 3 rebuilt the scan — BENCHMARKS.md
+        # "Frequency domain" has the current numbers).
         # Single-frame calls (the live loop) use the per-frame recursion.
         # An exact Cholesky refresh bounds f32 drift; the cadence MUST
         # scale with alpha — every recursion step amplifies rounding
