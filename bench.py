@@ -70,7 +70,16 @@ def main() -> None:
 
     steal0 = _steal_ticks()
 
-    ladder = {}
+    class _Ladder(dict):
+        """Streams each rung to stderr as it completes — a mid-run
+        tunnel hang (observed: multi-hour axon outages) then still
+        leaves partial evidence instead of nothing."""
+
+        def __setitem__(self, k, v):
+            super().__setitem__(k, v)
+            print(f"# rung {k}: {v:.1f}", file=sys.stderr, flush=True)
+
+    ladder = _Ladder()
     # "highest": bit-level f32 (the exactness-gate mode); "high": 3-pass
     # bf16 hi/lo emulation (abs err bound gated by
     # test_fused_three_pass_mode; measured ~5e-6 rel on the power map vs
