@@ -605,11 +605,10 @@ def mvdr_maps_scan(state: PrecisionState, signals: jax.Array,
         return (Ar2, Ai2, yr2, yi2), (ar, ai, kappa)
 
     CHUNK = 16
-    st = state
-    map_parts = []
-    for c0 in range(0, B, CHUNK):
-        sr_c = sr[c0:c0 + CHUNK]                       # (Bc, F, M)
-        si_c = si[c0:c0 + CHUNK]
+
+    def chunk_body(carry, inputs, anchor=True):
+        st, d = carry
+        sr_c, si_c = inputs                            # (Bc, F, M)
         Bc = sr_c.shape[0]
         Sr = jnp.moveaxis(sr_c, 0, 2)                  # (F, M, Bc)
         Si = jnp.moveaxis(si_c, 0, 2)
@@ -652,9 +651,8 @@ def mvdr_maps_scan(state: PrecisionState, signals: jax.Array,
         per_bin = 1.0 / jnp.maximum(d_all, 1e-12)      # (F, D, Bc)
         if bin_weights is not None:     # sharded path: mask padded bins
             per_bin = per_bin * bin_weights[:, None, None]
-        map_parts.append(jnp.moveaxis(jnp.sum(per_bin, axis=0), 1, 0))
-        last = c0 + CHUNK >= B
-        if not last or return_d:
+        maps_c = jnp.moveaxis(jnp.sum(per_bin, axis=0), 1, 0)  # (Bc, D)
+        if anchor:
             # Re-ANCHOR d across the chunk boundary instead of carrying
             # the recursion (whose relative error compounds at
             # ~alpha^-1/frame): with P' = (P - V K^{-1} V^H)/a^Bc,
@@ -681,9 +679,31 @@ def mvdr_maps_scan(state: PrecisionState, signals: jax.Array,
         # P advances by the exact rank-Bc Woodbury update so the next
         # chunk's projections are measured, not mixed
         st = _update_precision_block_sp(st, sr_c, si_c, alpha)
+        return (st, d), maps_c
 
-    maps = jnp.concatenate(map_parts, axis=0) if len(map_parts) > 1 \
-        else map_parts[0]
+    nc, rem = divmod(B, CHUNK)
+    if nc >= 2 and rem == 0:
+        # uniform chunks: ONE chunk body in the HLO via lax.scan — a
+        # B=64 call otherwise unrolls 4 copies of ~25 reference-shape
+        # einsums + an inner scan (compile-time hazard on the remote
+        # service).  The final chunk's anchor is computed inside the
+        # scan either way (needed when return_d).
+        sr_ch = sr.reshape(nc, CHUNK, F, -1)
+        si_ch = si.reshape(nc, CHUNK, F, -1)
+        (st, d), maps_all = jax.lax.scan(chunk_body, (state, d),
+                                         (sr_ch, si_ch))
+        maps = maps_all.reshape(B, -1)
+    else:
+        st = state
+        map_parts = []
+        for c0 in range(0, B, CHUNK):
+            last = c0 + CHUNK >= B
+            (st, d), maps_c = chunk_body(
+                (st, d), (sr[c0:c0 + CHUNK], si[c0:c0 + CHUNK]),
+                anchor=(not last) or return_d)
+            map_parts.append(maps_c)
+        maps = jnp.concatenate(map_parts, axis=0) if len(map_parts) > 1 \
+            else map_parts[0]
     maps = maps.reshape(B, t.res_x, t.res_y)
     if return_d:
         return maps, st, d
