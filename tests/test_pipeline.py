@@ -40,6 +40,103 @@ def test_put_drop_oldest():
     assert q.get() == 3 and q.get() == 4
 
 
+def _backend_kinds(t):
+    """One instance of every kind _select_power_backend can return
+    (built CPU-side: the Pallas wrappers auto-interpret off-TPU)."""
+    from zybo_rt_sampler_image_detection_tpu.ops import (
+        equiv_kernel, freq_equiv)
+    from zybo_rt_sampler_image_detection_tpu.ops.pallas_kernels import (
+        FusedBeamformer,
+    )
+    return [
+        ("equiv_kernel", equiv_kernel.FusedEquivBeamformer(t, mode="f32")),
+        ("freq_equiv", freq_equiv.make_equiv_tables(t)),
+        ("fused", FusedBeamformer(t)),
+        ("xla", None),
+    ]
+
+
+def test_default_power_fn_single_frame_every_backend(tiny_cfg, rng,
+                                                     monkeypatch):
+    """Round-3 review regression: the production policy may hand ANY
+    backend kind to the single-frame live loop (HeatmapProducer warms up
+    on a 2-D zeros frame), so every kind must accept (M, N) frames and
+    (B, M, N) batches — the equiv kernel's raw ``_call`` did not."""
+    from conftest import synth_frame
+
+    from zybo_rt_sampler_image_detection_tpu.apps import pipeline
+    from zybo_rt_sampler_image_detection_tpu.ops import beamform
+
+    t = beamform.make_tables(tiny_cfg.replace(matmul_precision="high"),
+                             "lerp", cache=False)
+    frame = synth_frame(tiny_cfg, rng)
+    ref = np.asarray(beamform.steered_power(frame, t), np.float64)
+    for kind, obj in _backend_kinds(t):
+        monkeypatch.setattr(pipeline, "_select_power_backend",
+                            lambda tables, _k=kind, _o=obj: (_k, _o))
+        fn = pipeline.default_power_fn(t)
+        out = np.asarray(fn(frame), np.float64)
+        assert out.shape == ref.shape, kind
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-12,
+                                   err_msg=kind)
+        out3 = np.asarray(fn(frame[None]), np.float64)
+        np.testing.assert_allclose(out3[0], ref, rtol=1e-4, atol=1e-12,
+                                   err_msg=kind)
+
+
+def test_batched_power_program_every_backend(tiny_cfg, rng, monkeypatch):
+    """The shared full-rate device program must pad channel-sliced
+    f16-transfer batches back to the full mic axis for every backend
+    kind (previously only some kinds were reachable here)."""
+    from conftest import synth_frame
+
+    from zybo_rt_sampler_image_detection_tpu.apps import pipeline
+    from zybo_rt_sampler_image_detection_tpu.ops import beamform
+
+    cfg = tiny_cfg.replace(matmul_precision="high")
+    t = beamform.make_tables(cfg, "lerp", cache=False)
+    n_full = cfg.n_microphones
+    full = np.stack([synth_frame(cfg, rng) for _ in range(3)])
+    sliced = full[:, : n_full - 2].astype(np.float16)
+    padded = np.zeros_like(full)
+    padded[:, : n_full - 2] = sliced.astype(np.float32)
+    ref = np.asarray(beamform.steered_power(padded, t), np.float64)
+    for kind, obj in _backend_kinds(t):
+        monkeypatch.setattr(pipeline, "_select_power_backend",
+                            lambda tables, _k=kind, _o=obj: (_k, _o))
+        prog = pipeline._batched_power_program(t, n_full)
+        out = np.asarray(prog(sliced), np.float64)
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-12,
+                                   err_msg=kind)
+
+
+def test_mimo_miso_batched_honors_power_backend():
+    """Round-3 review regression: enabling audio must not silently switch
+    the imaging semantics — the combined stage consults the pipeline's
+    configured power_fn (mvdr/fft/equiv opt-ins) for the heatmap half."""
+    cfg = zrt.Config.tiny().replace(udp_port=21927)
+    calls = []
+
+    def custom_power(frames):
+        frames = np.asarray(frames)
+        calls.append(frames.shape)
+        return np.full((frames.shape[0], cfg.max_res_x, cfg.max_res_y),
+                       7.0, np.float32)
+
+    p = Pipeline(cfg, algorithm="lerp", replay_mode=True,
+                 backend="python", power_fn=custom_power)
+    try:
+        stage = p.make_mimo_miso_batched(batch=4, beam="time")
+        frames = np.stack([np.ones((cfg.n_microphones, cfg.n_samples),
+                                   np.float32)] * 4)
+        maps, beams = stage.process_fn(frames, 0)
+        assert calls and calls[0] == frames.shape
+        assert np.asarray(maps)[0, 0, 0] == 7.0
+        assert np.asarray(beams).shape == (4, cfg.n_samples)
+    finally:
+        p.stop()
+
+
 def test_pipeline_heatmap_and_steering(tmp_path):
     cfg = zrt.Config.tiny().replace(udp_port=21920)
     tx, ty = 6, 2

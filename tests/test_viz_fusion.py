@@ -121,6 +121,29 @@ def test_wav_sink(tmp_path):
         assert w.getnframes() == 4883
 
 
+def test_wav_sink_streams_to_disk(tmp_path):
+    """The writer thread streams samples mid-run (an unclean exit keeps
+    everything already drained — round-3 review: the buffer-at-close
+    design lost the whole capture), and writes after close raise."""
+    import os
+    import time
+
+    p = str(tmp_path / "s.wav")
+    sink = audio.WavFileSink(p, 48828.0)
+    for _ in range(20):
+        sink.write(np.zeros(4883, np.float32))
+    deadline = time.time() + 5.0
+    while time.time() < deadline and os.path.getsize(p) < 20 * 4883 * 2:
+        time.sleep(0.05)
+    assert os.path.getsize(p) >= 20 * 4883 * 2   # data bytes on disk
+    sink.close()
+    with pytest.raises(ValueError):
+        sink.write(np.zeros(8, np.float32))
+    import wave
+    with wave.open(p) as w:
+        assert w.getnframes() == 20 * 4883
+
+
 def test_miso_gain():
     beam = np.ones(8, np.float32) * 64.0
     out = audio.miso_gain(beam, n_mics=64, mic_gain=128.0)

@@ -73,16 +73,22 @@ def _equiv_tables_if_favored(tables):
     degenerate single-tap spreads.  The stacked (D, 2M, F) response planes
     cost ~12x W in HBM (862 MB at the reference shape) — capped at
     ~2.4 GB.  Returns the equiv tables or None."""
-    D, T, M = tables.W.shape
-    N = tables.n_samples
-    L = N + T + max(0, -tables.tau_min) + 1
-    F = L // 2 + 1
-    if tables.precision != "high" or T * N <= 2 * 4 * F \
-            or 16 * D * M * F > 2.4e9:
-        return None
     from ..ops import freq_equiv
 
+    if tables.precision != "high" or not _equiv_bar(tables):
+        return None
     return freq_equiv.make_equiv_tables(tables)
+
+
+def _equiv_bar(tables) -> bool:
+    """The delay-spread MAC bar + response-plane HBM cap shared by the
+    equiv-path selectors (sizes predicted via ``freq_equiv.equiv_dims``
+    so they track ``make_equiv_tables``)."""
+    from ..ops import freq_equiv
+
+    D, T, M = tables.W.shape
+    _, F = freq_equiv.equiv_dims(tables)
+    return T * tables.n_samples > 2 * 4 * F and 16 * D * M * F <= 2.4e9
 
 
 def _equiv_kernel_if_favored(tables, et=None):
@@ -101,22 +107,53 @@ def _equiv_kernel_if_favored(tables, et=None):
       reference shape).
 
     The same delay-spread MAC bar and response-plane HBM cap as
-    :func:`_equiv_tables_if_favored` apply.
+    :func:`_equiv_tables_if_favored` apply.  Returns the
+    ``FusedEquivBeamformer`` instance (callable on single ``(M, N)``
+    frames and ``(B, M, N)`` batches) or None.
     """
-    D, T, M = tables.W.shape
-    N = tables.n_samples
-    L = N + T + max(0, -tables.tau_min) + 1
-    F = L // 2 + 1
-    if T * N <= 2 * 4 * F or 16 * D * M * F > 2.4e9:
+    if not _equiv_bar(tables):
         return None
     from ..ops import equiv_kernel
 
     try:
-        fused = equiv_kernel.FusedEquivBeamformer(
+        return equiv_kernel.FusedEquivBeamformer(
             et if et is not None else tables)
     except ValueError:                      # no VMEM plan for the shape
         return None
-    return fused._call
+
+
+def _select_power_backend(tables):
+    """Shared production backend selection for the heatmap stages.
+
+    Returns ``(kind, obj)``:
+
+    * ``("equiv_kernel", FusedEquivBeamformer)`` — the fused equiv
+      Pallas kernel, fastest measured at the ``high`` and ``bf16`` rungs;
+    * ``("freq_equiv", EquivFreqTables)`` — the exact XLA stacked-plane
+      path, at ``high`` shapes the kernel has no VMEM plan for;
+    * ``("fused", FusedBeamformer)`` — the time-domain fused kernel, at
+      ``bf16`` shapes the equiv bar excludes;
+    * ``("xla", None)`` — the exact XLA time-domain formulation
+      (``highest``'s bit-level contract, non-TPU backends, and shapes
+      nothing else fits).
+    """
+    if tables.precision != "highest" and jax.default_backend() == "tpu":
+        et = _equiv_tables_if_favored(tables)
+        if et is not None:
+            k = _equiv_kernel_if_favored(tables, et)
+            if k is not None:
+                return "equiv_kernel", k
+            return "freq_equiv", et
+        if tables.precision == "default":
+            k = _equiv_kernel_if_favored(tables)
+            if k is not None:
+                return "equiv_kernel", k
+        from ..ops.pallas_kernels import FusedBeamformer
+
+        fused = FusedBeamformer(tables)
+        if fused.fits_vmem:
+            return "fused", fused
+    return "xla", None
 
 
 def default_power_fn(tables):
@@ -134,26 +171,73 @@ def default_power_fn(tables):
     * ``highest`` (the bit-level reference-exactness mode) or non-TPU
       backends (where the kernels would run in slow interpret mode) ->
       the exact XLA formulation.
+
+    The returned callable accepts single ``(M, N)`` frames AND
+    ``(B, M, N)`` batches (the live loop warms up on a 2-D zeros frame).
     """
-    if tables.precision != "highest" and jax.default_backend() == "tpu":
-        et = _equiv_tables_if_favored(tables)
-        if et is not None:
-            kfn = _equiv_kernel_if_favored(tables, et)
-            if kfn is not None:
-                return kfn
-            from ..ops import freq_equiv
+    kind, obj = _select_power_backend(tables)
+    if kind == "equiv_kernel":
+        return obj            # __call__ squeezes 2-D frames
+    if kind == "freq_equiv":
+        from ..ops import freq_equiv
 
-            return lambda f: freq_equiv.equiv_steered_power(f, et)
-        if tables.precision == "default":
-            kfn = _equiv_kernel_if_favored(tables)
-            if kfn is not None:
-                return kfn
-        from ..ops.pallas_kernels import FusedBeamformer
-
-        fused = FusedBeamformer(tables)
-        if fused.fits_vmem:
-            return fused._call
+        return lambda f: freq_equiv.equiv_steered_power(f, obj)
+    if kind == "fused":
+        return obj._call      # handles the 2-D squeeze itself
     return lambda f: beamform.steered_power(f, tables)
+
+
+def _pad_full(frames, n_full):
+    """Device-program prologue shared by the full-rate stages: upcast
+    f16-transfer batches and pad channel-sliced transfers back to the
+    full mic axis (the tail rows are always zero)."""
+    frames = frames.astype(jax.numpy.float32)
+    pad = n_full - frames.shape[1]
+    if pad > 0:
+        frames = jax.numpy.pad(frames, ((0, 0), (0, pad), (0, 0)))
+    return frames
+
+
+def _power_program_parts(tables):
+    """The production backend policy (:func:`_select_power_backend`) as a
+    jit-safe ``(trace_fn, extra_args)`` pair: ``trace_fn(frames_padded,
+    *extra_args) -> (B, X, Y)``.  All tables travel through
+    ``extra_args`` so every caller passes them to its jit as ARGUMENTS
+    (constants bloat the compile request — see
+    ``pallas_kernels.FusedBeamformer``).  Shared by
+    :class:`BatchedHeatmapProducer` and the combined imaging+listening
+    stage so the two full-rate paths cannot drift."""
+    kind, obj = _select_power_backend(tables)
+    if kind == "equiv_kernel":
+        from ..ops import equiv_kernel
+
+        def tr(frames, kt):
+            return equiv_kernel._equiv_fused_forward(frames, kt, meta=obj)
+
+        return tr, (obj.kt,)
+    if kind == "freq_equiv":
+        from ..ops import freq_equiv
+
+        return freq_equiv.equiv_steered_power, (obj,)
+    if kind == "fused" and obj.Wp is not None:
+        return obj._forward_prepped, (obj.Wp, obj.corr_w, obj._adaptive)
+    if kind == "fused":          # windowed-K variant: raw-tables entry
+        return obj._forward, (tables.W, tables.Wc, tables.adaptive)
+    return beamform.steered_power, (tables,)
+
+
+def _batched_power_program(tables, n_full):
+    """ONE jitted ``(B, Mc, N) -> (B, X, Y)`` device program running the
+    production backend policy, with the :func:`_pad_full` prologue; the
+    input batch is donated on device backends so XLA reuses its HBM."""
+    tr, extra = _power_program_parts(tables)
+    donate = (0,) if jax.default_backend() != "cpu" else ()
+
+    @partial(jax.jit, donate_argnums=donate)
+    def _power(frames, *args):
+        return tr(_pad_full(frames, n_full), *args)
+
+    return lambda frames: _power(frames, *extra)
 
 
 class Stage(threading.Thread):
@@ -314,49 +398,8 @@ class BatchedHeatmapProducer(BatchedStage):
         self.q_power = q_power
         self.sink = sink or self._default_sink
         if power_fn is None:
-            # donation lets XLA reuse the input batch's HBM; CPU can't use
-            # it and warns, so only donate on device backends
-            donate = (0,) if jax.default_backend() != "cpu" else ()
-            n_full = receiver.cfg.n_microphones
-            fused = None
-            equiv = None
-            if tables.precision != "highest" \
-                    and jax.default_backend() == "tpu":
-                equiv = _equiv_tables_if_favored(tables)
-                if equiv is None:
-                    from ..ops.pallas_kernels import FusedBeamformer
-
-                    f = FusedBeamformer(tables)
-                    if f.fits_vmem:
-                        fused = f
-
-            # tables (prepped weight planes for the fused path) enter
-            # as ARGUMENTS (constants would bloat the compile request —
-            # see pallas_kernels.FusedBeamformer)
-            prepped = (None, None) if fused is None \
-                else (fused.Wp, fused.corr_w)
-
-            @partial(jax.jit, donate_argnums=donate)
-            def _power(frames, t, wp, cw):
-                # channel-sliced transfers are padded back to the full
-                # mic axis on device (the tail rows are always zero);
-                # f16-transfer batches upcast here
-                frames = frames.astype(jax.numpy.float32)
-                pad = n_full - frames.shape[1]
-                if pad > 0:
-                    frames = jax.numpy.pad(frames,
-                                           ((0, 0), (0, pad), (0, 0)))
-                if equiv is not None:
-                    from ..ops import freq_equiv
-
-                    return freq_equiv.equiv_steered_power(frames, t)
-                if fused is not None:
-                    return fused._forward_prepped(frames, wp, cw,
-                                                  t.adaptive)
-                return beamform.steered_power(frames, t)
-
-            power_fn = lambda frames: _power(  # noqa: E731
-                frames, equiv if equiv is not None else tables, *prepped)
+            power_fn = _batched_power_program(tables,
+                                              receiver.cfg.n_microphones)
         elif channels and channels < receiver.cfg.n_microphones:
             # custom power_fn (fft/mvdr backends) with channel-sliced
             # transfers: pad the tail mic rows back before calling it —
@@ -364,14 +407,8 @@ class BatchedHeatmapProducer(BatchedStage):
             # clamp out-of-range indices to the last sliced row
             base_fn = power_fn
             n_full = receiver.cfg.n_microphones
-
-            def power_fn(frames, _b=base_fn, _n=n_full):
-                frames = frames.astype(jax.numpy.float32)
-                pad = _n - frames.shape[1]
-                if pad > 0:
-                    frames = jax.numpy.pad(frames,
-                                           ((0, 0), (0, pad), (0, 0)))
-                return _b(frames)
+            power_fn = lambda frames: base_fn(  # noqa: E731
+                _pad_full(frames, n_full))
         self.power_fn = power_fn
 
     def _default_sink(self, powers: np.ndarray, first_seq: int):
@@ -699,7 +736,9 @@ class Pipeline:
             # 2M<=256 'high' bar excludes)
             from ..ops import equiv_kernel
 
-            power_fn = equiv_kernel.FusedEquivBeamformer(self.tables)._call
+            # the instance, not ._call: __call__ handles the live loop's
+            # single (M, N) frames as well as batches
+            power_fn = equiv_kernel.FusedEquivBeamformer(self.tables)
         elif power_backend not in ("auto", "freq_equiv", "equiv_kernel"):
             raise ValueError(f"unknown power backend {power_backend!r}")
         self.receiver = Receiver(self.cfg, replay_mode=replay_mode,
@@ -869,40 +908,36 @@ class Pipeline:
         donate = (0,) if jax.default_backend() != "cpu" else ()
         if beam == "time":
             tables = self.tables
-            fused = None
-            equiv = None
-            if tables.precision != "highest" \
-                    and jax.default_backend() == "tpu":
-                equiv = _equiv_tables_if_favored(tables)
-                if equiv is None:
-                    from ..ops.pallas_kernels import FusedBeamformer
+            if self._power_fn is not None:
+                # honor the pipeline's configured power backend (the
+                # mvdr/fft/freq_equiv opt-ins): enabling audio must not
+                # silently switch the imaging semantics.  The (possibly
+                # stateful) power_fn runs on the already-transferred
+                # batch; the beam is its own jitted program over the
+                # SAME device array — still one host->device transfer,
+                # but no donation (two consumers).
+                base_fn = self._power_fn
 
-                    f = FusedBeamformer(tables)
-                    if f.fits_vmem:
-                        fused = f
+                @jax.jit
+                def _beam(frames, t, d):
+                    return beamform.miso_beam(_pad_full(frames, n_full),
+                                              t, d)
 
-            prepped = (None, None) if fused is None \
-                else (fused.Wp, fused.corr_w)
+                def process_fn(frames, d, _b=base_fn, _t=tables):
+                    return (_b(_pad_full(frames, n_full)),
+                            _beam(frames, _t, d))
+            else:
+                tr, extra = _power_program_parts(tables)
 
-            @partial(jax.jit, donate_argnums=donate)
-            def _both(frames, t, et, d, wp, cw):
-                frames = frames.astype(jax.numpy.float32)
-                pad = n_full - frames.shape[1]
-                if pad > 0:
-                    frames = jax.numpy.pad(frames,
-                                           ((0, 0), (0, pad), (0, 0)))
-                if et is not None:
-                    from ..ops import freq_equiv
+                @partial(jax.jit, donate_argnums=donate)
+                def _both(frames, t, d, *args):
+                    frames = _pad_full(frames, n_full)
+                    return tr(frames, *args), \
+                        beamform.miso_beam(frames, t, d)
 
-                    p = freq_equiv.equiv_steered_power(frames, et)
-                elif fused is not None:
-                    p = fused._forward_prepped(frames, wp, cw, t.adaptive)
-                else:
-                    p = beamform.steered_power(frames, t)
-                return p, beamform.miso_beam(frames, t, d)
+                process_fn = lambda f, d: _both(  # noqa: E731
+                    f, tables, d, *extra)
 
-            process_fn = lambda f, d: _both(  # noqa: E731
-                f, tables, equiv, d, *prepped)
             n = tables.n_mics
             post_fn = lambda b: audio_mod.miso_gain(       # noqa: E731
                 b, n, cfg.mic_gain, cfg.norm_factor_sound)

@@ -110,14 +110,23 @@ def _build_H(W: jax.Array, tau_min: int, L: int):
     return Hs1, Hs2
 
 
+def equiv_dims(t: SteeringTables) -> tuple:
+    """``(L, F)`` — the padded-window length and rfft bin count
+    :func:`make_equiv_tables` will use.  The pipeline's backend-selection
+    bars (MAC ratio, response-plane HBM cap) predict table sizes from
+    these, so they must come from the same derivation."""
+    D, T, M = t.W.shape
+    # L covers every positive shift's spill AND wraps negative shifts'
+    # spill into the same tail window without collision
+    L = t.n_samples + T + max(0, -t.tau_min) + 1
+    return L, L // 2 + 1
+
+
 def make_equiv_tables(t: SteeringTables) -> EquivFreqTables:
     """Build the exact frequency-domain twin of time-domain tables."""
     D, T, M = t.W.shape
     N = t.n_samples
-    # L covers every positive shift's spill AND wraps negative shifts'
-    # spill into the same tail window without collision
-    L = N + T + max(0, -t.tau_min) + 1
-    F = L // 2 + 1
+    L, F = equiv_dims(t)
     f = np.arange(F)
     w = 2.0 * np.pi * f / L
 

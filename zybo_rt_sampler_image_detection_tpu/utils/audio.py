@@ -14,6 +14,8 @@ MIC_GAIN, then clipped to [-1, 1] for the device.
 
 from __future__ import annotations
 
+import queue
+import threading
 import wave
 from typing import Optional
 
@@ -37,28 +39,57 @@ class NullSink(AudioSink):
 
 
 class WavFileSink(AudioSink):
-    """Stdlib ``wave`` writer.  Chunks are buffered in memory and written
-    at :meth:`close` — a synchronous disk write inside the real-time
-    stage thread can stall for tens of ms on a contended host and starve
-    the line-rate pipeline (30 s of 48,828 Hz int16 mono is ~2.9 MB)."""
+    """Stdlib ``wave`` writer fed through a dedicated writer thread.
+
+    A synchronous disk write inside the real-time stage thread can stall
+    for tens of ms on a contended host and starve the line-rate pipeline,
+    so :meth:`write` only enqueues the int16 chunk; the writer thread
+    streams it to disk (coalescing whatever is pending into one
+    ``writeframes`` call).  This keeps memory bounded on long runs and
+    the file a recoverable sample stream at all times — an earlier
+    buffer-everything-write-at-close design lost the whole capture on an
+    unclean exit.  Writes after :meth:`close` raise."""
 
     def __init__(self, path: str, sample_rate: float):
-        self._path = path
         self._rate = int(round(sample_rate))
-        self._chunks = []
+        self._wave = wave.open(path, "wb")
+        self._wave.setnchannels(1)
+        self._wave.setsampwidth(2)
+        self._wave.setframerate(self._rate)
+        self._q: queue.SimpleQueue = queue.SimpleQueue()
+        self._closed = False
+        self._writer = threading.Thread(target=self._drain,
+                                        name="wav-writer", daemon=True)
+        self._writer.start()
+
+    def _drain(self) -> None:
+        while True:
+            item = self._q.get()
+            parts = []
+            while item is not None:
+                parts.append(item)
+                try:
+                    item = self._q.get_nowait()
+                except queue.Empty:
+                    break
+            if parts:
+                self._wave.writeframes(b"".join(parts))
+            if item is None:
+                return
 
     def write(self, samples: np.ndarray) -> None:
+        if self._closed:
+            raise ValueError("write to a closed WavFileSink")
         clipped = np.clip(samples, -1.0, 1.0)
-        self._chunks.append((clipped * 32767).astype("<i2").tobytes())
+        self._q.put((clipped * 32767).astype("<i2").tobytes())
 
     def close(self) -> None:
-        w = wave.open(self._path, "wb")
-        w.setnchannels(1)
-        w.setsampwidth(2)
-        w.setframerate(self._rate)
-        w.writeframes(b"".join(self._chunks))
-        w.close()
-        self._chunks = []
+        if self._closed:
+            return
+        self._closed = True
+        self._q.put(None)
+        self._writer.join(timeout=30.0)
+        self._wave.close()
 
 
 class SoundDeviceSink(AudioSink):                     # pragma: no cover
