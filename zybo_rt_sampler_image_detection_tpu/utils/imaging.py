@@ -23,6 +23,10 @@ def resize(img: np.ndarray, size_wh: Tuple[int, int],
            nearest: bool = False) -> np.ndarray:
     """Resize to (width, height) — cv2 argument order."""
     w, h = size_wh
+    if img.shape[1] == w and img.shape[0] == h:
+        # same-size: skip the interpolation pass but keep cv2.resize's
+        # fresh-buffer contract (callers draw on the result in place)
+        return img.copy()
     if _HAS_CV2:
         interp = cv2.INTER_NEAREST if nearest else cv2.INTER_LINEAR
         return cv2.resize(img, (w, h), interpolation=interp)
