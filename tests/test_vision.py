@@ -357,23 +357,31 @@ class _NoisyOracle:
 def test_smoothed_tracker_mota_gate():
     """Tracking quality through SmoothedTracker on synthetic motion.
     Measured: clean 1.000; low-conf dropouts (revival path) 1.000; hard
-    15% dropouts 0.688 (SORT's reference max_age=1 brittleness — kept)."""
+    15% dropouts 0.688 (SORT's reference max_age=1 + matched-only
+    reporting — kept as the default) and 0.975 with the opt-in
+    coasted-track reporting (max_age=3: the KF prediction stands in for
+    the missed detection)."""
     from zybo_rt_sampler_image_detection_tpu.models import eval as ev
 
     results = {}
-    for name, kw, gate in [("clean", dict(dropout=0.0), 0.95),
-                           ("lowconf", dict(dropout=0.15, lowconf=True),
-                            0.90),
-                           ("hard", dict(dropout=0.15, lowconf=False),
-                            0.55)]:
+    for name, okw, tkw, gate in [
+            ("clean", dict(dropout=0.0), {}, 0.95),
+            ("lowconf", dict(dropout=0.15, lowconf=True), {}, 0.90),
+            ("hard", dict(dropout=0.15, lowconf=False), {}, 0.55),
+            ("hard_coasted", dict(dropout=0.15, lowconf=False),
+             dict(max_age=3, report_coasted=True), 0.90)]:
         rng = np.random.default_rng(42)
         frames, gts = _motion_sequence(rng)
-        st = tracking.SmoothedTracker(_NoisyOracle(gts, rng, **kw))
+        st = tracking.SmoothedTracker(_NoisyOracle(gts, rng, **okw), **tkw)
         tracks = [st.step(f)[0] for f in frames]
         m, counts = ev.mota([gts], [tracks])
         results[name] = (m, counts)
         assert m >= gate, f"{name}: MOTA {m:.3f} < {gate} ({counts})"
     assert results["clean"][1]["id_switches"] == 0
+    assert results["hard_coasted"][0] > results["hard"][0]
+    # coasting must not invent ids: no switches, no false positives
+    assert results["hard_coasted"][1]["id_switches"] == 0
+    assert results["hard_coasted"][1]["false_positives"] == 0
 
 
 def test_multiclass_scene_shapes():

@@ -141,10 +141,17 @@ class Sort:
     """Track lifecycle manager (sort.py:199-253)."""
 
     def __init__(self, max_age: int = 1, min_hits: int = 3,
-                 iou_threshold: float = 0.3):
+                 iou_threshold: float = 0.3,
+                 report_coasted: bool = False):
         self.max_age = max_age
         self.min_hits = min_hits
         self.iou_threshold = iou_threshold
+        # opt-in beyond the reference: also report the Kalman-predicted
+        # box of established tracks during detector dropouts (the
+        # reference's update() only emits tracks matched THIS frame,
+        # sort.py:245-248, so every dropped detection is a hole in the
+        # output even while the track survives internally)
+        self.report_coasted = report_coasted
         self.trackers: List[KalmanBoxTracker] = []
         self.frame_count = 0
 
@@ -181,6 +188,13 @@ class Sort:
             if trk.time_since_update < 1 and (
                     trk.hit_streak >= self.min_hits
                     or self.frame_count <= self.min_hits):
+                ret.append(np.concatenate([d, [trk.id + 1]]))
+            elif self.report_coasted \
+                    and trk.time_since_update <= self.max_age \
+                    and trk.hits >= self.min_hits:
+                # coasting: the KF prediction stands in for the missed
+                # detection (hits, not hit_streak: the streak resets on
+                # the very miss being coasted over)
                 ret.append(np.concatenate([d, [trk.id + 1]]))
             i -= 1
             if trk.time_since_update > self.max_age:
