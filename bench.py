@@ -18,8 +18,14 @@ import time
 import numpy as np
 
 
-def main() -> None:
+def main(smoke: bool = False) -> None:
+    """``smoke=True`` (CLI ``--smoke``): run every rung once on tiny
+    shapes on the CPU backend — validates the script end-to-end (API
+    drift, name errors) without a TPU; the numbers are meaningless."""
     import jax
+
+    if smoke:
+        jax.config.update("jax_platforms", "cpu")
 
     import zybo_rt_sampler_image_detection_tpu as zrt
     from zybo_rt_sampler_image_detection_tpu.ops import beamform
@@ -27,8 +33,9 @@ def main() -> None:
         FusedBeamformer,
     )
 
-    B = 512
-    cfg0 = zrt.Config.northstar()
+    B = 8 if smoke else 512
+    R = 1 if smoke else 3
+    cfg0 = zrt.Config.tiny() if smoke else zrt.Config.northstar()
     rng = np.random.default_rng(0)
     frames_dev = jax.device_put(rng.standard_normal(
         (B, cfg0.n_microphones, cfg0.n_samples)).astype(np.float32))
@@ -42,7 +49,7 @@ def main() -> None:
         except (OSError, IndexError, ValueError):
             return 0
 
-    def timed_batched(fn, frames, nb, n_iter, key=None, repeats=3):
+    def timed_batched(fn, frames, nb, n_iter, key=None, repeats=None):
         """Median rate over ``repeats`` runs (+ relative spread recorded in
         ``spreads`` — a wide spread flags host/tunnel contention, which a
         single-shot number cannot distinguish from a regression).
@@ -50,6 +57,7 @@ def main() -> None:
         Sync with a 4-byte host read: on this backend block_until_ready
         can acknowledge before execution finishes for small programs, and
         a full-output transfer would time the tunnel, not the chip."""
+        repeats = R if repeats is None else repeats
         np.asarray(fn(frames)[0, 0, 0])              # compile + warm
         rates = []
         for _ in range(repeats):
@@ -66,7 +74,8 @@ def main() -> None:
         return med
 
     def timed(fn, n_iter=12, key=None):
-        return timed_batched(fn, frames_dev, B, n_iter, key=key)
+        return timed_batched(fn, frames_dev, B, 1 if smoke else n_iter,
+                             key=key)
 
     steal0 = _steal_ticks()
 
@@ -153,16 +162,16 @@ def main() -> None:
         ladder[algo] = rate
 
     # the reference config shape: 57x32 grid, 256 channels, 3 arrays
-    ref_cfg = __import__(
-        "zybo_rt_sampler_image_detection_tpu").Config().replace(
+    ref_cfg = (zrt.Config.tiny() if smoke else zrt.Config()).replace(
         matmul_precision="high")
-    B_ref = 256
+    B_ref = 8 if smoke else 256
     frames_ref = jax.device_put(rng.standard_normal(
         (B_ref, ref_cfg.n_microphones, ref_cfg.n_samples)).astype(np.float32))
     t_ref = beamform.make_tables(ref_cfg, "lerp", cache=True)
 
     def timed_ref(fn, n_iter=8, key=None):
-        return timed_batched(fn, frames_ref, B_ref, n_iter, key=key)
+        return timed_batched(fn, frames_ref, B_ref, 1 if smoke else n_iter,
+                             key=key)
 
     # NOTE: steered_power/fft_steered_power are already jitted with the
     # tables as pytree ARGUMENTS — wrapping them in another jit(lambda)
@@ -201,7 +210,9 @@ def main() -> None:
         return jax.lax.scan(step, st, frames)
 
     def timed_stateful(step_fn, st0, n_frames, iters=4, key=None,
-                       repeats=3):
+                       repeats=None):
+        repeats = R if repeats is None else repeats
+        iters = 1 if smoke else iters
         st, maps = step_fn(st0)                      # compile + warm
         np.asarray(maps.ravel()[0])
         rates = []
@@ -212,9 +223,10 @@ def main() -> None:
             np.asarray(maps.ravel()[0])
             rates.append((n_frames * iters) / (time.perf_counter() - t0))
         rates.sort()
+        med = rates[len(rates) // 2]
         if key is not None:
-            spreads[key] = round((rates[-1] - rates[0]) / rates[1], 3)
-        return rates[len(rates) // 2]
+            spreads[key] = round((rates[-1] - rates[0]) / med, 3)
+        return med
 
     # device-rate proxy for the LIVE (unbatched) loops: 64 sequential
     # B=1 heatmaps inside one device program (lax.scan) — the per-frame
@@ -228,9 +240,10 @@ def main() -> None:
         return jax.lax.scan(step, 0.0, frames64)[1]
 
     t_ns_hi = beamform.make_tables(cfg_hi, "lerp", cache=False)
-    fr64 = jax.device_put(np.asarray(frames_dev[:64]))
+    n64 = min(64, B)
+    fr64 = jax.device_put(np.asarray(frames_dev[:n64]))
     ladder["live_loop_device_proxy_fps"] = timed_batched(
-        lambda f: _live_proxy(f, t_ns_hi), fr64, 64, 4,
+        lambda f: _live_proxy(f, t_ns_hi), fr64, n64, 1 if smoke else 4,
         key="live_loop_device_proxy_fps")
 
     K = 8
@@ -244,11 +257,12 @@ def main() -> None:
     # every d0_carry_interval frames) and the exact Cholesky refresh at
     # the alpha-aware cadence — one full 64-frame refresh epoch per
     # step_fn call, exactly the process_fn sequence in apps/pipeline.py
-    Kb = 16
+    Kb = 2 if smoke else 16
     fr_blks = [jax.device_put(np.asarray(frames_ref[i * Kb:(i + 1) * Kb]))
                for i in range(4)]
     carry_max = freq.d0_carry_interval()       # ~31 at alpha=0.9
-    assert 16 <= carry_max < 4 * Kb            # d0 re-measured mid-epoch
+    if not smoke:
+        assert 16 <= carry_max < 4 * Kb        # d0 re-measured mid-epoch
 
     def mvdr_epoch(st):
         maps = None
@@ -277,9 +291,9 @@ def main() -> None:
           f"(headline=high precision, best of fused 3-pass ~5e-06 / "
           f"freq-equiv exact ~2e-06 / equiv kernel ~1.2e-05 rel err vs "
           f"exact f32) backend={jax.default_backend()}", file=sys.stderr)
-    print(f"# medians of 3 repeats; rel spreads: {spreads}; "
+    print(f"# medians of {R} repeat(s); rel spreads: {spreads}; "
           f"host steal ticks during run: {steal}", file=sys.stderr)
 
 
 if __name__ == "__main__":
-    main()
+    main(smoke="--smoke" in sys.argv[1:])
