@@ -918,15 +918,20 @@ class Pipeline:
                 # SAME device array — still one host->device transfer,
                 # but no donation (two consumers).
                 base_fn = self._power_fn
+                pad_prog = jax.jit(lambda f: _pad_full(f, n_full))
 
                 @jax.jit
                 def _beam(frames, t, d):
-                    return beamform.miso_beam(_pad_full(frames, n_full),
-                                              t, d)
+                    return beamform.miso_beam(frames, t, d)
 
                 def process_fn(frames, d, _b=base_fn, _t=tables):
-                    return (_b(_pad_full(frames, n_full)),
-                            _beam(frames, _t, d))
+                    # pad/upcast ONCE, in-program (f16/channel-sliced
+                    # transfers only — each eager dispatch costs ~40 ms
+                    # through the tunnel), and share the padded batch
+                    if frames.dtype != np.float32 \
+                            or frames.shape[1] != n_full:
+                        frames = pad_prog(frames)
+                    return _b(frames), _beam(frames, _t, d)
             else:
                 tr, extra = _power_program_parts(tables)
 

@@ -48,7 +48,9 @@ class WavFileSink(AudioSink):
     ``writeframes`` call).  This keeps memory bounded on long runs and
     the file a recoverable sample stream at all times — an earlier
     buffer-everything-write-at-close design lost the whole capture on an
-    unclean exit.  Writes after :meth:`close` raise."""
+    unclean exit.  Writes after :meth:`close` (or after a disk-write
+    failure) are dropped and counted in ``_dropped`` — a stage thread
+    that outlives the pipeline's bounded join must not die on them."""
 
     def __init__(self, path: str, sample_rate: float):
         self._rate = int(round(sample_rate))
@@ -58,6 +60,8 @@ class WavFileSink(AudioSink):
         self._wave.setframerate(self._rate)
         self._q: queue.SimpleQueue = queue.SimpleQueue()
         self._closed = False
+        self._failed = False
+        self._dropped = 0                 # late/post-failure writes
         self._writer = threading.Thread(target=self._drain,
                                         name="wav-writer", daemon=True)
         self._writer.start()
@@ -73,13 +77,29 @@ class WavFileSink(AudioSink):
                 except queue.Empty:
                     break
             if parts:
-                self._wave.writeframes(b"".join(parts))
+                try:
+                    self._wave.writeframes(b"".join(parts))
+                except Exception:
+                    # disk full / EIO: record the failure so write()
+                    # stops feeding the queue (otherwise a long run
+                    # grows host memory unboundedly while the capture
+                    # silently stops), then keep draining sentinels
+                    self._failed = True
+                    import logging
+                    logging.getLogger(__name__).exception(
+                        "WavFileSink: disk write failed; dropping "
+                        "further audio")
             if item is None:
                 return
 
     def write(self, samples: np.ndarray) -> None:
-        if self._closed:
-            raise ValueError("write to a closed WavFileSink")
+        if self._closed or self._failed:
+            # late writes happen when a stage thread outlives
+            # Pipeline.stop's bounded join (multi-second device stalls
+            # are documented on this backend) — drop, don't kill the
+            # stage with an exception
+            self._dropped += 1
+            return
         clipped = np.clip(samples, -1.0, 1.0)
         self._q.put((clipped * 32767).astype("<i2").tobytes())
 
@@ -89,6 +109,17 @@ class WavFileSink(AudioSink):
         self._closed = True
         self._q.put(None)
         self._writer.join(timeout=30.0)
+        if self._writer.is_alive():       # pragma: no cover
+            # writer stuck in a blocked writeframes (NFS stall, full
+            # disk): closing the wave object under it would race the
+            # active write and truncate the header — leave the handle
+            # to the daemon thread / process exit
+            import logging
+            logging.getLogger(__name__).warning(
+                "WavFileSink: writer did not drain within 30s; leaving "
+                "the file open (%d chunks may be unflushed)",
+                self._q.qsize())
+            return
         self._wave.close()
 
 
