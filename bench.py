@@ -26,6 +26,35 @@ def main(smoke: bool = False) -> None:
 
     if smoke:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # Device-claim watchdog: the axon tunnel's outages make
+        # jax.devices() hang INDEFINITELY inside the plugin (observed
+        # multi-hour outages).  An unattended driver run must record an
+        # honest failure instead of hanging with no record at all.
+        import threading
+
+        claimed = threading.Event()
+
+        def _claim():
+            try:
+                jax.devices()
+                claimed.set()
+            except Exception:
+                pass
+
+        threading.Thread(target=_claim, daemon=True).start()
+        if not claimed.wait(timeout=300.0):
+            print(json.dumps({
+                "metric": "steered_power_heatmaps_per_sec_64ch_65x65",
+                "value": 0.0,
+                "unit": "heatmaps/s",
+                "vs_baseline": 0.0,
+                "error": "TPU unreachable: device claim hung >300 s "
+                         "(axon tunnel outage) — not a regression; see "
+                         "BENCHMARKS.md for the last recorded ladder",
+            }), flush=True)
+            import os
+            os._exit(0)       # the claim thread is stuck in C; don't wait
 
     import zybo_rt_sampler_image_detection_tpu as zrt
     from zybo_rt_sampler_image_detection_tpu.ops import beamform
