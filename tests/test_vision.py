@@ -289,6 +289,45 @@ def test_multiclass_detector_map_gate():
         assert ap >= 0.5, f"class {c} AP regressed: {ap:.3f}"
 
 
+def test_scene_camera_detectable(tmp_path):
+    """The demo's detectable scene (``--camera -2``): a quick-pretrained
+    detector must find the moving object in most frames, the cache must
+    round-trip, and the decider's focus_beam must fire on the detection
+    (the full fused-chain story on real detections)."""
+    from zybo_rt_sampler_image_detection_tpu.fusion.decider import (
+        SensorFusionDecider,
+    )
+    from zybo_rt_sampler_image_detection_tpu.models import data, train
+    from zybo_rt_sampler_image_detection_tpu.models.tracking import (
+        compute_iou,
+    )
+
+    cache = str(tmp_path / "det.pkl")
+    det = train.pretrained_demo_detector(cache_path=cache, steps=400)
+    cam = data.SceneCamera((240, 320))
+    hits, best = 0, None
+    for _ in range(6):
+        ok, frame = cam.read()
+        assert ok and frame.shape == (240, 320, 3)
+        gt = cam.last_box
+        dets = det.get_detections(frame, conf_threshold=0.3)
+        good = [d for d in dets if compute_iou(d[:4], gt) > 0.3]
+        if good:
+            hits += 1
+            best = max(good, key=lambda d: d[4])
+    assert hits >= 4, f"detector found the scene object in {hits}/6 frames"
+    # cached weights round-trip (second call must load, not retrain)
+    import time
+    t0 = time.time()
+    train.pretrained_demo_detector(cache_path=cache, steps=400)
+    assert time.time() - t0 < 5.0
+    # focus_beam steers at the confident detection
+    dec = SensorFusionDecider((320, 240))
+    calls = []
+    assert dec.focus_beam(lambda h, v: calls.append((h, v)), best) == 0
+    assert len(calls) == 1
+
+
 def test_mota_metric():
     from zybo_rt_sampler_image_detection_tpu.models import eval as ev
 

