@@ -100,24 +100,9 @@ def test_mvdr_power_fn_batch_aware():
     from zybo_rt_sampler_image_detection_tpu.apps.demo import _make_pipeline
 
     args = argparse.Namespace(algorithm="mvdr", replay=True, backend="python",
-                              port=21939, preset="default", headless=True,
+                              port=21939, preset="tiny", headless=True,
                               frames=0)
-    # tiny preset via monkeyless config override: build pipeline on tiny cfg
-    import zybo_rt_sampler_image_detection_tpu.apps.demo as demo_mod
-
-    class _TinyShim:
-        reference = staticmethod(zrt.Config.tiny)
-        fft_reference = staticmethod(zrt.Config.tiny)
-
-        def __call__(self):
-            return zrt.Config.tiny()
-
-    saved = demo_mod.Config
-    try:
-        demo_mod.Config = _TinyShim()
-        p = _make_pipeline(args)
-    finally:
-        demo_mod.Config = saved
+    p = _make_pipeline(args)
     cfg = p.cfg
     rng = np.random.default_rng(3)
     single = (rng.standard_normal(
