@@ -33,28 +33,34 @@ def main(smoke: bool = False) -> None:
         # honest failure instead of hanging with no record at all.
         import threading
 
-        claimed = threading.Event()
+        done = threading.Event()
+        claim_err = []
 
         def _claim():
             try:
                 jax.devices()
-                claimed.set()
-            except Exception:
-                pass
+            except BaseException as e:   # report, don't misdiagnose
+                claim_err.append(f"{type(e).__name__}: {e}")
+            done.set()
 
         threading.Thread(target=_claim, daemon=True).start()
-        if not claimed.wait(timeout=300.0):
+        if not done.wait(timeout=300.0) or claim_err:
+            # distinguish a hang (tunnel outage — not a regression) from
+            # a fast claim FAILURE (plugin/env breakage — reproducible,
+            # must be surfaced as itself, not blamed on the tunnel)
+            err = (f"TPU claim failed: {claim_err[0]}" if claim_err else
+                   "TPU unreachable: device claim hung >300 s "
+                   "(axon tunnel outage) — not a regression; see "
+                   "BENCHMARKS.md for the last recorded ladder")
             print(json.dumps({
                 "metric": "steered_power_heatmaps_per_sec_64ch_65x65",
                 "value": 0.0,
                 "unit": "heatmaps/s",
                 "vs_baseline": 0.0,
-                "error": "TPU unreachable: device claim hung >300 s "
-                         "(axon tunnel outage) — not a regression; see "
-                         "BENCHMARKS.md for the last recorded ladder",
+                "error": err,
             }), flush=True)
             import os
-            os._exit(0)       # the claim thread is stuck in C; don't wait
+            os._exit(0)       # the claim thread may be stuck in C
 
     import zybo_rt_sampler_image_detection_tpu as zrt
     from zybo_rt_sampler_image_detection_tpu.ops import beamform

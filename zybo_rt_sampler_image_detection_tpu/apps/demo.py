@@ -61,6 +61,14 @@ def _make_pipeline(args, audio_sink="null", audio_path=None,
         cfg = cfg.replace(udp_port=args.port)
     power_fn = None
     algorithm = args.algorithm
+    if algorithm in ("fft", "mvdr") and (
+            getattr(args, "equiv", False)
+            or getattr(args, "equiv_kernel", False)):
+        raise SystemExit(
+            f"--equiv/--equiv-kernel reformulate the TIME-domain "
+            f"algorithms (pad/lerp/convolve/hybrid/truncated); "
+            f"--algorithm {algorithm} computes power its own way and "
+            f"the flags would be ignored")
     if algorithm == "fft":
         from ..ops import freq
         tables = freq.make_freq_tables(cfg)

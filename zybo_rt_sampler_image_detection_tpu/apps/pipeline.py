@@ -400,15 +400,20 @@ class BatchedHeatmapProducer(BatchedStage):
         if power_fn is None:
             power_fn = _batched_power_program(tables,
                                               receiver.cfg.n_microphones)
-        elif channels and channels < receiver.cfg.n_microphones:
-            # custom power_fn (fft/mvdr backends) with channel-sliced
-            # transfers: pad the tail mic rows back before calling it —
-            # without this the freq-domain channel gather would silently
-            # clamp out-of-range indices to the last sliced row
+        elif (channels and channels < receiver.cfg.n_microphones) \
+                or transfer != "f32":
+            # custom power_fn (fft/mvdr backends) with channel-sliced or
+            # f16 transfers: restore the full-width f32 (B, M, N)
+            # contract before calling it — without the pad the
+            # freq-domain channel gather would silently clamp
+            # out-of-range indices to the last sliced row.  The prologue
+            # is its own jitted program (the base_fn is an opaque
+            # callable we can't fuse into): an eager astype+pad costs
+            # 1-2 extra ~40 ms dispatches per batch through the tunnel.
             base_fn = power_fn
             n_full = receiver.cfg.n_microphones
-            power_fn = lambda frames: base_fn(  # noqa: E731
-                _pad_full(frames, n_full))
+            pad_prog = jax.jit(lambda f: _pad_full(f, n_full))
+            power_fn = lambda frames: base_fn(pad_prog(frames))  # noqa: E731
         self.power_fn = power_fn
 
     def _default_sink(self, powers: np.ndarray, first_seq: int):
@@ -719,6 +724,17 @@ class Pipeline:
         self.cfg = cfg or Config()
         self.metrics = PipelineMetrics()
         self.tables = beamform.make_tables(self.cfg, algorithm)
+        if power_backend not in ("auto", "freq_equiv", "equiv_kernel"):
+            raise ValueError(f"unknown power backend {power_backend!r}")
+        if power_fn is not None and power_backend != "auto":
+            # a custom power_fn (the fft/mvdr closures) computes its own
+            # power — silently dropping the explicit backend request
+            # would leave the user believing the equiv path is running
+            raise ValueError(
+                f"power_backend={power_backend!r} conflicts with a custom "
+                f"power_fn: the backend flag selects how the time-domain "
+                f"steered power is computed, which a custom power_fn "
+                f"replaces entirely — pass one or the other")
         if power_fn is None and power_backend == "freq_equiv":
             # opt-in EXACT frequency-domain reformulation of the selected
             # time-domain algorithm (ops/freq_equiv): same output to f32
@@ -740,8 +756,6 @@ class Pipeline:
             # the instance, not ._call: __call__ handles the live loop's
             # single (M, N) frames as well as batches
             power_fn = equiv_kernel.FusedEquivBeamformer(self.tables)
-        elif power_backend not in ("auto", "freq_equiv", "equiv_kernel"):
-            raise ValueError(f"unknown power backend {power_backend!r}")
         self.receiver = Receiver(self.cfg, replay_mode=replay_mode,
                                  backend=backend, ring_frames=ring_frames)
         self.q_power: queue.Queue = queue.Queue(maxsize=2)
@@ -832,12 +846,7 @@ class Pipeline:
 
             @partial(jax.jit, donate_argnums=donate)
             def _beam(frames, t, d):
-                frames = frames.astype(jax.numpy.float32)
-                pad = n_full - frames.shape[1]
-                if pad > 0:
-                    frames = jax.numpy.pad(frames,
-                                           ((0, 0), (0, pad), (0, 0)))
-                return beamform.miso_beam(frames, t, d)
+                return beamform.miso_beam(_pad_full(frames, n_full), t, d)
 
             beam_fn = lambda frames, d: _beam(frames, tables, d)  # noqa: E731
             n = tables.n_mics
@@ -851,12 +860,8 @@ class Pipeline:
 
             @partial(jax.jit, static_argnames=("alpha",))
             def _step(st, frames, t, d, alpha):
-                frames = frames.astype(jax.numpy.float32)
-                pad = n_full - frames.shape[1]
-                if pad > 0:
-                    frames = jax.numpy.pad(frames,
-                                           ((0, 0), (0, pad), (0, 0)))
-                return freq.mvdr_listen_step(st, frames, t, d, alpha=alpha)
+                return freq.mvdr_listen_step(st, _pad_full(frames, n_full),
+                                             t, d, alpha=alpha)
 
             refresh_every = freq.refresh_interval(alpha)
 
@@ -955,11 +960,7 @@ class Pipeline:
 
             @partial(jax.jit, static_argnames=("alpha",))
             def _step(st, dq, frames, t, d, alpha):
-                frames = frames.astype(jax.numpy.float32)
-                pad = n_full - frames.shape[1]
-                if pad > 0:
-                    frames = jax.numpy.pad(frames,
-                                           ((0, 0), (0, pad), (0, 0)))
+                frames = _pad_full(frames, n_full)
                 # dq (the a^H P a quadratic form) carries across blocks
                 # within a refresh epoch — the O(F M^2 D) evaluation
                 # (~84% of a 16-frame block) runs only after refresh

@@ -23,16 +23,23 @@ _CACHED = None
 
 
 def _so_path() -> str:
+    # the cache dir is shared across checkouts/worktrees, so the binary
+    # must be keyed by source CONTENT — an mtime check would let a
+    # checkout with an older-mtime but different ingest.cpp silently
+    # load another checkout's incompatible binary
+    import hashlib
+
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:12]
     cdir = os.environ.get("ZRT_NATIVE_CACHE_DIR",
                           os.path.expanduser("~/.cache/zrt_native"))
-    return os.path.join(cdir, "libzrtingest.so")
+    return os.path.join(cdir, f"libzrtingest-{digest}.so")
 
 
 def build(force: bool = False) -> str:
     so = _so_path()
     with _LOCK:
-        if (not force and os.path.exists(so)
-                and os.path.getmtime(so) >= os.path.getmtime(_SRC)):
+        if not force and os.path.exists(so):
             return so
         os.makedirs(os.path.dirname(so), exist_ok=True)
         cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",

@@ -241,7 +241,9 @@ def pretrained_demo_detector(cache_path: Optional[str] = None,
                                        num_classes=num_classes),
                 log_every=0)
     det.variables = trainer.state.variables
-    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    cache_dir = os.path.dirname(cache)
+    if cache_dir:                 # a bare filename has no dir to create
+        os.makedirs(cache_dir, exist_ok=True)
     tmp = cache + ".tmp"
     with open(tmp, "wb") as f:
         pickle.dump(jax.tree.map(np.asarray, det.variables), f)

@@ -62,6 +62,10 @@ class WavFileSink(AudioSink):
         self._closed = False
         self._failed = False
         self._dropped = 0                 # late/post-failure writes
+        # serializes enqueue vs the close() sentinel: without it a
+        # write() racing close() can land its chunk AFTER the sentinel,
+        # where the writer never sees it and _dropped never counts it
+        self._lock = threading.Lock()
         self._writer = threading.Thread(target=self._drain,
                                         name="wav-writer", daemon=True)
         self._writer.start()
@@ -101,13 +105,19 @@ class WavFileSink(AudioSink):
             self._dropped += 1
             return
         clipped = np.clip(samples, -1.0, 1.0)
-        self._q.put((clipped * 32767).astype("<i2").tobytes())
+        data = (clipped * 32767).astype("<i2").tobytes()
+        with self._lock:
+            if self._closed:              # lost the race with close()
+                self._dropped += 1
+                return
+            self._q.put(data)
 
     def close(self) -> None:
-        if self._closed:
-            return
-        self._closed = True
-        self._q.put(None)
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._q.put(None)
         self._writer.join(timeout=30.0)
         if self._writer.is_alive():       # pragma: no cover
             # writer stuck in a blocked writeframes (NFS stall, full
