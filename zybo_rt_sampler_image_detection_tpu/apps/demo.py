@@ -19,7 +19,7 @@ import time
 import numpy as np
 
 from ..config import Config
-from .pipeline import Pipeline
+from .pipeline import Pipeline, make_mvdr_stream
 
 
 def _add_common(p):
@@ -77,56 +77,12 @@ def _make_pipeline(args, audio_sink="null", audio_path=None,
     elif algorithm == "mvdr":
         # streaming-inverse (RLS) MVDR.  Batched calls (the full-rate
         # stage) use the subspace-recursive scan: EXACT per-frame Capon
-        # maps + one rank-B Woodbury state update per batch (round-2
-        # measurement: 2,187 maps/s at the reference shape vs 215 for
-        # the sequential loop; round 3 rebuilt the scan — BENCHMARKS.md
-        # "Frequency domain" has the current numbers).
-        # Single-frame calls (the live loop) use the per-frame recursion.
-        # An exact Cholesky refresh bounds f32 drift; the cadence MUST
-        # scale with alpha — every recursion step amplifies rounding
-        # error by 1/alpha, so a fixed 256-frame interval NaN'd out
-        # around frame 110 at the default alpha=0.9 (freq.refresh_interval).
-        from ..ops import freq
-        tables = freq.make_freq_tables(cfg, 100.0)
-        state = {"p": freq.init_precision(tables), "n": 0, "r": 0}
-        refresh_every = freq.refresh_interval()
-
-        carry_max = freq.d0_carry_interval()
-
-        def power_fn(f, _t=tables, _s=state):
-            if f.ndim == 3:
-                # carry the a^H P a quadratic form across blocks (it is
-                # ~84% of a 16-frame block's FLOPs at the reference
-                # shape), re-measuring every d0_carry_interval frames
-                if _s.get("dq") is None or _s.get("dqc", 0) >= carry_max:
-                    _s["dq"] = freq.mvdr_d0(_s["p"], _t)
-                    _s["dqc"] = 0
-                maps, _s["p"], _s["dq"] = freq.mvdr_maps_scan(
-                    _s["p"], f, _t, d0=_s["dq"], return_d=True)
-                _s["n"] += f.shape[0]
-                _s["dqc"] += f.shape[0]
-            else:
-                _s["p"] = freq.update_precision(_s["p"], f, _t)
-                _s["n"] += 1
-                _s["dq"] = None   # P moved outside the carried recursion
-                maps = freq.mvdr_power_precision(_s["p"], _t)
-            if _s["n"] - _s["r"] >= refresh_every:
-                _s["p"] = freq.refresh_precision(_s["p"], _t)
-                _s["dq"] = None            # re-measure from refreshed P
-                _s["r"] = _s["n"]
-            return maps
-
-        def _reset(_t=tables, _s=state):
-            # drop warmup pollution (a zero block scales P by alpha^-B)
-            # and compile the periodic programs NOW — a mid-run compile
-            # stalls the full-rate stage for seconds
-            _s["p"] = freq.init_precision(_t)
-            freq.refresh_precision(_s["p"], _t).P_re.block_until_ready()
-            freq.mvdr_d0(_s["p"], _t).block_until_ready()
-            _s["dq"] = None
-            _s["n"] = _s["r"] = 0
-
-        power_fn.reset = _reset
+        # maps + one rank-B Woodbury state update per batch; single-frame
+        # calls (the live loop) use the per-frame recursion.  The shared
+        # state machine (pipeline.make_mvdr_stream) owns the d0 carry
+        # and the alpha-aware refresh cadence; BENCHMARKS.md "Frequency
+        # domain" has the current rates.
+        power_fn = make_mvdr_stream(cfg, "maps")
         algorithm = "lerp"
     return Pipeline(cfg, algorithm=algorithm, replay_mode=args.replay,
                     backend=args.backend, audio_sink=audio_sink,

@@ -240,6 +240,134 @@ def _batched_power_program(tables, n_full):
     return lambda frames: _power(frames, *extra)
 
 
+def make_mvdr_stream(cfg: Config, kind: str = "maps", alpha: float = 0.9,
+                     band_low: float = 100.0):
+    """The streaming-MVDR state machine shared by every production site
+    (``demo --algorithm mvdr``, web backend 4, the full-rate listening
+    stage, and the combined imaging+listening stage) — ONE
+    implementation of the drift-critical cadence logic:
+
+    * **alpha-aware exact refresh**: every Sherman–Morrison/Woodbury
+      step divides P by alpha, so f32 drift amplifies ~1/alpha per
+      frame; an exact Cholesky refresh runs every
+      ``freq.refresh_interval(alpha)`` frames (a fixed 256-frame
+      interval NaN'd out around frame 110 at alpha=0.9).
+    * **carried quadratic form**: the ``a^H P a`` evaluation (~84% of a
+      16-frame block's FLOPs at the reference shape) is carried across
+      batched calls and re-measured every
+      ``freq.d0_carry_interval(alpha)`` frames — the carried
+      correction's error also amplifies 1/alpha per frame.
+    * **reset/warmup** (``fn.reset()``): drop warmup pollution (a zero
+      block scales P by alpha^-B) and compile the periodic programs
+      upfront — a mid-run first compile stalls the full-rate stage for
+      seconds.
+
+    ``kind`` selects the fused per-call device program (pad/upcast +
+    state update + outputs run as ONE program — each extra dispatch
+    costs ~40 ms through the tunnel):
+
+    * ``"maps"``: ``fn(frames (B, M, N)) -> (B, X, Y)`` exact per-frame
+      Capon maps (``freq.mvdr_maps_scan``); also accepts a single
+      ``(M, N)`` frame -> ``(X, Y)`` via the per-frame recursion (the
+      live loop).
+    * ``"beams"``: ``fn(frames, direction) -> (B, N)`` adaptive
+      distortionless listening beams (``freq.mvdr_listen_step``).
+    * ``"maps_beams"``: ``fn(frames, direction) -> (maps, beams)`` —
+      one streaming-inverse update shared between the Capon maps and
+      the beam weights (one host->device transfer serves both).
+
+    Channel-sliced / f16 batches are padded back to the full mic axis
+    in-program.  Returns ``fn`` with ``fn.reset()`` and ``fn.tables``.
+    Ref: ``api.c:576-581`` (live steer), ``api.c:491-543`` (miso_loop).
+    """
+    from ..ops import freq
+
+    ft = freq.make_freq_tables(cfg, band_low)
+    n_full = cfg.n_microphones
+    state = {"p": freq.init_precision(ft), "n": 0, "r": 0,
+             "dq": None, "dqc": 0}
+    refresh_every = freq.refresh_interval(alpha)
+    carry_max = freq.d0_carry_interval(alpha)
+    uses_d0 = kind in ("maps", "maps_beams")
+
+    if kind == "maps_beams":
+        @partial(jax.jit, static_argnames=("alpha",))
+        def _core(st, dq, frames, t, d, alpha):
+            frames = _pad_full(frames, n_full)
+            maps, st2, dq2 = freq.mvdr_maps_scan(
+                st, frames, t, alpha=alpha, d0=dq, return_d=True)
+            beams = freq.mvdr_beam_precision(st2, t, frames, d)
+            return (maps, beams), st2, dq2
+    elif kind == "maps":
+        @partial(jax.jit, static_argnames=("alpha",))
+        def _core(st, dq, frames, t, alpha):
+            maps, st2, dq2 = freq.mvdr_maps_scan(
+                st, _pad_full(frames, n_full), t, alpha=alpha, d0=dq,
+                return_d=True)
+            return maps, st2, dq2
+    elif kind == "beams":
+        @partial(jax.jit, static_argnames=("alpha",))
+        def _core(st, frames, t, d, alpha):
+            return freq.mvdr_listen_step(st, _pad_full(frames, n_full),
+                                         t, d, alpha=alpha)
+    else:
+        raise ValueError(f"unknown mvdr stream kind {kind!r}")
+
+    def _carried_dq():
+        if state["dq"] is None or state["dqc"] >= carry_max:
+            state["dq"] = freq.mvdr_d0(state["p"], ft)
+            state["dqc"] = 0
+        return state["dq"]
+
+    def _tick(k: int):
+        state["n"] += k
+        state["dqc"] += k
+        if state["n"] - state["r"] >= refresh_every:
+            state["p"] = freq.refresh_precision(state["p"], ft)
+            state["dq"] = None         # re-measure from the refreshed P
+            state["r"] = state["n"]
+
+    if kind == "beams":
+        def fn(frames, direction):
+            beams, state["p"] = _core(state["p"], frames, ft, direction,
+                                      alpha=alpha)
+            _tick(frames.shape[0])
+            return beams
+    elif kind == "maps_beams":
+        def fn(frames, direction):
+            out, state["p"], state["dq"] = _core(
+                state["p"], _carried_dq(), frames, ft, direction,
+                alpha=alpha)
+            _tick(frames.shape[0])
+            return out
+    else:
+        def fn(frames):
+            if frames.ndim == 3:
+                maps, state["p"], state["dq"] = _core(
+                    state["p"], _carried_dq(), frames, ft, alpha=alpha)
+                _tick(frames.shape[0])
+            else:
+                state["p"] = freq.update_precision(state["p"], frames,
+                                                   ft, alpha=alpha)
+                state["dq"] = None  # P moved outside the carried recursion
+                maps = freq.mvdr_power_precision(state["p"], ft)
+                _tick(1)
+            return maps
+
+    def reset():
+        state["p"] = freq.init_precision(ft)
+        freq.refresh_precision(state["p"], ft).P_re.block_until_ready()
+        if uses_d0:
+            freq.mvdr_d0(state["p"], ft).block_until_ready()
+        state["dq"] = None
+        state["n"] = state["r"] = state["dqc"] = 0
+
+    fn.reset = reset
+    fn.tables = ft
+    fn.state = state
+    return fn
+
+
 class Stage(threading.Thread):
     def __init__(self, name: str, metrics: PipelineMetrics):
         super().__init__(name=name, daemon=True)
@@ -853,38 +981,9 @@ class Pipeline:
             post_fn = lambda b: audio_mod.miso_gain(       # noqa: E731
                 b, n, cfg.mic_gain, cfg.norm_factor_sound)
         elif beam == "mvdr":
-            from ..ops import freq
-
-            ft = freq.make_freq_tables(cfg, 100.0)
-            state = {"p": freq.init_precision(ft), "n": 0, "r": 0}
-
-            @partial(jax.jit, static_argnames=("alpha",))
-            def _step(st, frames, t, d, alpha):
-                return freq.mvdr_listen_step(st, _pad_full(frames, n_full),
-                                             t, d, alpha=alpha)
-
-            refresh_every = freq.refresh_interval(alpha)
-
-            def beam_fn(frames, d, _t=ft, _s=state):
-                beams, _s["p"] = _step(_s["p"], frames, _t, d, alpha)
-                _s["n"] += frames.shape[0]
-                # exact Cholesky refresh bounds f32 drift; the cadence
-                # MUST scale with alpha (every recursion step amplifies
-                # rounding error by 1/alpha — a fixed 256-frame interval
-                # NaN'd out around frame 110 at alpha=0.9)
-                if _s["n"] - _s["r"] >= refresh_every:
-                    _s["p"] = freq.refresh_precision(_s["p"], _t)
-                    _s["r"] = _s["n"]
-                return beams
-
-            def _reset(_t=ft, _s=state):
-                # drop warmup pollution and compile the periodic-refresh
-                # program NOW (a mid-run first compile stalls the stage)
-                _s["p"] = freq.init_precision(_t)
-                freq.refresh_precision(_s["p"], _t).P_re.block_until_ready()
-                _s["n"] = _s["r"] = 0
-
-            beam_fn.reset = _reset
+            # the shared streaming-MVDR state machine (state, alpha-aware
+            # refresh cadence, reset/precompile) — see make_mvdr_stream
+            beam_fn = make_mvdr_stream(cfg, "beams", alpha=alpha)
             # the MVDR beam is distortionless (unit gain toward the steer
             # direction) — no 1/n·MIC_GAIN rescale
             post_fn = lambda b: b                          # noqa: E731
@@ -953,50 +1052,11 @@ class Pipeline:
             post_fn = lambda b: audio_mod.miso_gain(       # noqa: E731
                 b, n, cfg.mic_gain, cfg.norm_factor_sound)
         elif beam == "mvdr":
-            from ..ops import freq
-
-            ft = freq.make_freq_tables(cfg, 100.0)
-            state = {"p": freq.init_precision(ft), "n": 0, "r": 0}
-
-            @partial(jax.jit, static_argnames=("alpha",))
-            def _step(st, dq, frames, t, d, alpha):
-                frames = _pad_full(frames, n_full)
-                # dq (the a^H P a quadratic form) carries across blocks
-                # within a refresh epoch — the O(F M^2 D) evaluation
-                # (~84% of a 16-frame block) runs only after refresh
-                maps, st2, dq2 = freq.mvdr_maps_scan(
-                    st, frames, t, alpha=alpha, d0=dq, return_d=True)
-                beams = freq.mvdr_beam_precision(st2, t, frames, d)
-                return maps, beams, st2, dq2
-
-            refresh_every = freq.refresh_interval(alpha)
-            carry_max = freq.d0_carry_interval(alpha)
-
-            def process_fn(frames, d, _t=ft, _s=state):
-                if _s.get("dq") is None or _s.get("dqc", 0) >= carry_max:
-                    _s["dq"] = freq.mvdr_d0(_s["p"], _t)
-                    _s["dqc"] = 0
-                maps, beams, _s["p"], _s["dq"] = _step(
-                    _s["p"], _s["dq"], frames, _t, d, alpha)
-                _s["n"] += frames.shape[0]
-                _s["dqc"] += frames.shape[0]
-                # alpha-aware cadence — see make_miso_batched
-                if _s["n"] - _s["r"] >= refresh_every:
-                    _s["p"] = freq.refresh_precision(_s["p"], _t)
-                    _s["dq"] = None        # re-measure from refreshed P
-                    _s["r"] = _s["n"]
-                return maps, beams
-
-            def _reset(_t=ft, _s=state):
-                _s["p"] = freq.init_precision(_t)
-                # precompile the periodic programs NOW (mid-run first
-                # compiles stall the full-rate stage)
-                freq.refresh_precision(_s["p"], _t).P_re.block_until_ready()
-                freq.mvdr_d0(_s["p"], _t).block_until_ready()
-                _s["dq"] = None
-                _s["n"] = _s["r"] = 0
-
-            process_fn.reset = _reset
+            # ONE streaming-inverse update shared between the Capon maps
+            # and the beam weights, in one fused device program — the
+            # shared state machine handles the d0 carry and the
+            # alpha-aware refresh cadence (see make_mvdr_stream)
+            process_fn = make_mvdr_stream(cfg, "maps_beams", alpha=alpha)
             post_fn = lambda b: b                          # noqa: E731
         else:
             raise ValueError(f"unknown beam backend {beam!r}")

@@ -129,23 +129,11 @@ class VideoCamera:
                 ft = freq.make_freq_tables(self.cfg)
                 p._power_fn = lambda f: freq.fft_steered_power(f, ft)
             elif algo == "mvdr":
-                # streaming-inverse (RLS) Capon map per frame; exact
-                # Cholesky refresh at the alpha-aware cadence (a fixed
-                # 256-frame interval NaN'd out by ~frame 110 at
-                # alpha=0.9 — see freq.refresh_interval)
-                from ..ops import freq
-                ft = freq.make_freq_tables(self.cfg, 100.0)
-                st = {"p": freq.init_precision(ft), "n": 0}
-                every = freq.refresh_interval()
-
-                def _mvdr(f, _t=ft, _s=st):
-                    _s["p"] = freq.update_precision(_s["p"], f, _t)
-                    _s["n"] += 1
-                    if _s["n"] % every == 0:
-                        _s["p"] = freq.refresh_precision(_s["p"], _t)
-                    return freq.mvdr_power_precision(_s["p"], _t)
-
-                p._power_fn = _mvdr
+                # streaming-inverse (RLS) Capon map per frame — the
+                # shared state machine owns the alpha-aware refresh
+                # cadence (see pipeline.make_mvdr_stream)
+                from .pipeline import make_mvdr_stream
+                p._power_fn = make_mvdr_stream(self.cfg, "maps")
             p.connect()
             p.start_heatmap()
             if sound:
