@@ -26,6 +26,22 @@ def test_kernel_matches_time_domain_high(tiny_cfg, rng, algorithm):
     np.testing.assert_allclose(got, ref, rtol=5e-5, atol=1e-12)
 
 
+@pytest.mark.parametrize("algorithm", ("lerp", "hybrid"))
+def test_kernel_chunked_frequency_accumulation(tiny_cfg, rng, algorithm):
+    """Frequency chunking (n_fc > 1) folds the Parseval AND the tail/head
+    inverse-DFT contractions in per chunk — the reference-shape plans run
+    chunked, but the tiny shape auto-plans to n_fc=1, so force a chunked
+    plan here to gate the accumulation path's parity."""
+    frames = np.stack([synth_frame(tiny_cfg, rng) for _ in range(3)])
+    t = beamform.make_tables(tiny_cfg, algorithm, cache=False)
+    ref = np.asarray(beamform.steered_power(frames, t), np.float64)
+    fused = equiv_kernel.FusedEquivBeamformer(t, mode="high",
+                                              plan_override=(8, 3))
+    assert fused.n_fc == 3
+    got = np.asarray(fused(frames), np.float64)
+    np.testing.assert_allclose(got, ref, rtol=5e-5, atol=1e-12)
+
+
 def test_kernel_f32_mode_most_accurate(tiny_cfg, rng):
     """'f32' mode (HIGHEST planes) lands within f32-reassociation
     distance of the exact XLA equiv path."""
@@ -101,6 +117,10 @@ def test_kernel_vmem_plan_chunks_frequencies():
     cfg = zrt.Config().replace(matmul_precision="high")
     t = beamform.make_tables(cfg, "lerp", cache=True)
     fused = equiv_kernel.FusedEquivBeamformer(t, mode="high")
-    assert fused.vmem_bytes < 100 * 1024 * 1024
+    # the tuned reference-shape plan (Bc=128, n_fc=3) was measured to
+    # compile; its estimate sits just above the search budget but under
+    # the Mosaic ceiling
+    assert fused.vmem_bytes < 120 * 1024 * 1024
+    assert fused.n_fc > 1                     # F chunked at this shape
     assert fused.FP % fused.fc_len == 0
     assert fused.FP >= fused.F

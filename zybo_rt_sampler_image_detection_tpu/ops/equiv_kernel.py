@@ -8,18 +8,23 @@ measured split shows the tail/head stage alone costs +8.2 ms of the
 16.3 ms total.  This kernel keeps the spectra ON-CHIP:
 
 * grid cell = (frame-chunk, direction-tile); frequency chunks sweep the
-  innermost grid axis, each writing its slice of a persistent
-  (F, Bc, TILE_D) VMEM scratch via one **batched** ``dot_general``
-  (batch dim = frequency, contraction = the stacked 2M mic axis — the
-  same stacked-plane trick as the XLA path);
+  innermost grid axis, each computing its (Fc, Bc, TILE_D) slice of the
+  steered spectra via one **batched** ``dot_general`` (batch dim =
+  frequency, contraction = the stacked 2M mic axis — the same
+  stacked-plane trick as the XLA path) and folding BOTH reductions in
+  while the dot outputs are live;
 * the Parseval power ``sum_f cf |B_f|^2`` reduces in-register — the
   ``sqrt(cf)`` weights are folded into the response planes at build
   time (and ``1/sqrt(cf)`` into the inverse-DFT basis rows), so the
   reduction is a plain sum of squares;
-* the tail/head beam samples come from ONE K=F MXU contraction of the
-  scratch against the (F, Tt) inverse-DFT basis — 3D free dims, run at
-  HIGHEST (f32) precision since the tail subtraction is
-  accuracy-critical;
+* the tail/head beam samples accumulate per f-chunk into a tiny
+  (Tt, Bc, TILE_D) VMEM scratch — K=Fc slices of the inverse-DFT
+  contraction at HIGHEST (f32) precision (the tail subtraction is
+  accuracy-critical).  v1 instead persisted the full (F, Bc, TILE_D)
+  spectra in VMEM for one K=F contraction at the end; that scratch was
+  the VMEM ceiling — dropping it lets the planner run TILE_D=256 x
+  Bc=512 tiles, halving the re-fetch traffic of S (per direction tile)
+  and H (per frame chunk), the pass's measured bound;
 * boundary corrections ``||beam - v||^2`` finish in-register against a
   (Bc, Tc, TILE_D) block of the head-correction values ``v`` (built by
   one flat matmul outside, in its natural layout — no transposes
@@ -34,15 +39,17 @@ Reference semantics are inherited from :mod:`.freq_equiv` (which cites
 ``freq_equiv.equiv_steered_power`` for every algorithm in
 ``tests/test_equiv_kernel.py``.
 
-Measured (one v5e, B=512/256, BENCHMARKS.md round 3):
+Measured (one v5e, B=512/256, BENCHMARKS.md round 3; the incremental-TH
+rewrite + tuned single-chunk plans are the late-round-3 numbers):
 
-* northstar (64 ch): ``high`` 44.4k maps/s err 1.2e-5 (XLA equiv path
-  31.1k at 2e-6; round-2 fused time-domain kernel 19.1k); ``bf16``
-  79.1k err 3.4e-3 (time-domain fused 45-47k); ``f32`` 36.0k at ~1e-6.
-* reference shape (256 ch): ``high`` 23.5k err 7.8e-6 (XLA equiv 22.6k
-  at 2e-6 — the rung flipped to the kernel once the DFT prep dropped
-  from HIGHEST to HIGH, which the 3-pass main dot cannot out-resolve);
-  ``bf16`` 32.9k.
+* northstar (64 ch): ``high`` 52.6k maps/s err ~1e-5 (v1 kernel 44-46k;
+  XLA equiv path 31.1k at 2e-6; round-2 fused time-domain kernel
+  19.1k); ``bf16`` 103.8k err 3.4e-3 (v1 79-90k; time-domain fused
+  45-47k); ``f32`` 42.7k at ~1e-6 (v1 36.0k).
+* reference shape (256 ch): ``high`` 25.5k err ~8e-6 (v1 23.5k; XLA
+  equiv 22.6k at 2e-6 — the rung flipped to the kernel once the DFT
+  prep dropped from HIGHEST to HIGH, which the 3-pass main dot cannot
+  out-resolve); ``bf16`` 47.6k (v1 32.9k).
 
 The kernel is the production default at both rungs for every in-bar
 shape (``pipeline._equiv_kernel_if_favored``).
@@ -65,7 +72,7 @@ from .pallas_kernels import _round_up, _split_bf16
 
 
 def _equiv_power_kernel(s_ref, h1_ref, h2_ref, ib1_ref, ib2_ref, sj_ref,
-                        wc_ref, out_ref, br_ref, bi_ref, pow_ref, *, n_fc,
+                        wc_ref, out_ref, th_ref, pow_ref, *, n_fc,
                         fc_len, n_tail, Tc, inv, th_precision,
                         main_precision, three_pass):
     """One (frame-chunk, direction-tile, frequency-chunk) grid cell.
@@ -85,14 +92,24 @@ def _equiv_power_kernel(s_ref, h1_ref, h2_ref, ib1_ref, ib2_ref, sj_ref,
                                   K=64 and cost 3.7 ms + a 156 MB HBM
                                   round-trip at the north-star shape)
     out_ref: (Bc, TILE_D)         power tile
-    br/bi:   (FP, Bc, TILE_D)     persistent VMEM scratch — the steered
-                                  spectra for this cell; each f-chunk
-                                  writes its slice, the last chunk
-                                  reduces.  Never exists in HBM.
+    th_ref:  (TtP, Bc, TILE_D)    tail/head beam-sample accumulator —
+                                  each f-chunk folds its K=Fc slice of
+                                  the inverse-DFT contraction in from
+                                  the still-live dot outputs.  (Round-3
+                                  v1 kept the full (F, Bc, TILE_D)
+                                  steered spectra in VMEM and ran one
+                                  K=F contraction at the end — that
+                                  scratch was the VMEM ceiling capping
+                                  the tile plan; accumulating TH per
+                                  chunk frees it, letting the planner
+                                  double TILE_D/Bc, which halves the
+                                  per-batch re-fetch traffic of S (per
+                                  direction tile) and H (per frame
+                                  chunk).)
     pow_ref: (Bc, TILE_D)         Parseval accumulator scratch — each
                                   f-chunk folds its sum of squares in
                                   from the still-live dot outputs (an
-                                  epilogue sweep over the full scratch
+                                  epilogue sweep over a full-F scratch
                                   spilled ~68 MB of registers).
 
     """
@@ -104,6 +121,22 @@ def _equiv_power_kernel(s_ref, h1_ref, h2_ref, ib1_ref, ib2_ref, sj_ref,
             a, b, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32, precision=main_precision)
 
+    has_th = (n_tail + Tc) > 0
+    ib_rows = pl.ds(fc_i * fc_len, fc_len)
+
+    def thdot(ib_ref, b):
+        # tail/head beam samples: the K=F inverse-DFT contraction,
+        # folded in per f-chunk (K=Fc slices) while br/bi are live —
+        # f32 operands at HIGHEST (the tail subtraction is
+        # accuracy-critical; bf16 truncation here costs ~3e-4 rel)
+        return jax.lax.dot_general(
+            ib_ref[ib_rows], b, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=th_precision)
+
+    # br and bi are computed and consumed SEQUENTIALLY so their
+    # (Fc, Bc, TILE_D) values never coexist — that liveness halves the
+    # peak intermediate footprint, which is what lets the (Bc=256,
+    # n_fc=1) plan fit the Mosaic allocator at the north-star shape.
     if three_pass:
         # [hi | lo] stacks on BOTH operands, three sliced dots:
         # Shi@Hhi + Shi@Hlo + Slo@Hhi.  (A K-stacked [s_hi|s_hi|s_lo]
@@ -115,38 +148,36 @@ def _equiv_power_kernel(s_ref, h1_ref, h2_ref, ib1_ref, ib2_ref, sj_ref,
         h1hi, h1lo = h1_ref[:, :M2], h1_ref[:, M2:]
         h2hi, h2lo = h2_ref[:, :M2], h2_ref[:, M2:]
         br = bdot(s_hi, h1hi) + bdot(s_hi, h1lo) + bdot(s_lo, h1hi)
-        bi = bdot(s_hi, h2hi) + bdot(s_hi, h2lo) + bdot(s_lo, h2hi)
     else:
         br = bdot(s_ref[:], h1_ref[:])
-        bi = bdot(s_ref[:], h2_ref[:])
-    br_ref[pl.ds(fc_i * fc_len, fc_len)] = br
-    bi_ref[pl.ds(fc_i * fc_len, fc_len)] = bi
     # Parseval: sqrt(cf) lives in the planes, so this is a plain sum of
     # squares — folded in per chunk while the dot outputs are live
-    partial = jnp.sum(br * br + bi * bi, axis=0)           # (Bc, TILE_D)
+    partial = jnp.sum(br * br, axis=0)                     # (Bc, TILE_D)
+    th_part = thdot(ib1_ref, br) if has_th else None
+    if three_pass:
+        bi = bdot(s_hi, h2hi) + bdot(s_hi, h2lo) + bdot(s_lo, h2hi)
+    else:
+        bi = bdot(s_ref[:], h2_ref[:])
+    partial = partial + jnp.sum(bi * bi, axis=0)
+    if has_th:
+        th_part = th_part + thdot(ib2_ref, bi)             # (TtP, Bc, TILE_D)
 
     @pl.when(fc_i == 0)
     def _init():
         pow_ref[:, :] = partial
+        if has_th:
+            th_ref[:, :, :] = th_part
 
     @pl.when(fc_i > 0)
     def _accum():
         pow_ref[:, :] = pow_ref[:, :] + partial
+        if has_th:
+            th_ref[:, :, :] = th_ref[:, :, :] + th_part
 
     @pl.when(fc_i == n_fc - 1)
     def _finish():
-        # tail/head beam samples: one K=F contraction per basis —
-        # f32 operands at HIGHEST (the tail subtraction is
-        # accuracy-critical; bf16 truncation here costs ~3e-4 rel)
-        TH = (jax.lax.dot_general(
-                  ib1_ref[:], br_ref[:], (((0,), (0,)), ((), ())),
-                  preferred_element_type=jnp.float32,
-                  precision=th_precision)
-              + jax.lax.dot_general(
-                  ib2_ref[:], bi_ref[:], (((0,), (0,)), ((), ())),
-                  preferred_element_type=jnp.float32,
-                  precision=th_precision))                 # (TtP, Bc, TILE_D)
         power = pow_ref[:, :]
+        TH = th_ref[:, :, :] if has_th else None           # (TtP, Bc, TILE_D)
         for p in range(n_tail):
             t = TH[p]
             power = power - t * t
@@ -196,6 +227,22 @@ class EquivKernelTables:
     mode: str = dataclasses.field(metadata=dict(static=True))
 
 
+# (Bc, n_fc) winners of the plan sweep, measured 2026-08-18 on one v5e
+# (BENCHMARKS.md "Fused equiv kernel"), keyed by (mode, padded stacked-mic
+# width MP2): north-star 64ch -> MP2=128, reference 256ch -> MP2=512.
+# Fewer f-chunks beat lower traffic (each extra chunk splits the
+# accuracy-critical tail/head contraction into small-K HIGHEST dots), and
+# the best Bc is mode-dependent (measured, not modeled) — the auto-search
+# below stays the fallback for unseen shapes.
+_TUNED_PLANS = {
+    ("high", 128): (64, 1),      # 52.6k maps/s (search pick: 47.2k)
+    ("f32", 128): (64, 1),       # 42.7k
+    ("bf16", 128): (128, 1),     # 103.8k (89.9k round-3 v1)
+    ("high", 512): (128, 3),     # 25.5k (23.5k round-3 v1)
+    ("bf16", 512): (128, 2),     # 47.6k (32.9k round-3 v1)
+}
+
+
 class FusedEquivBeamformer:
     """Fused-kernel twin of ``freq_equiv.equiv_steered_power``.
 
@@ -215,7 +262,8 @@ class FusedEquivBeamformer:
 
     def __init__(self, t, mode: Optional[str] = None,
                  tile_d: int = 128, interpret: Optional[bool] = None,
-                 vmem_budget: int = 88 * 1024 * 1024):
+                 vmem_budget: int = 88 * 1024 * 1024,
+                 plan_override: Optional[tuple] = None):
         et = t if isinstance(t, EquivFreqTables) else make_equiv_tables(t)
         if mode is None:
             mode = {"high": "high", "highest": "f32"}.get(
@@ -238,39 +286,58 @@ class FusedEquivBeamformer:
         self.tile_d = tile_d
         DP = _round_up(D, tile_d)
         MP2 = _round_up(M2, 8 if interpret else 128)
-        TtP = _round_up(Tt, 8)
+        TtP = _round_up(max(Tt, 1), 8)
         TcP = _round_up(max(Tc, 1), 8)
         n_tail = et.n_tail
 
         # frequency chunking: largest Fc whose working set fits VMEM
-        # (the spectra scratch is full-F regardless — it is the point)
+        # (the tail/head contraction folds in per chunk, so only a
+        # (TtP, Bc, TILE_D) accumulator persists — v1 kept the full
+        # (F, Bc, TILE_D) spectra here and that scratch WAS the ceiling)
         isz = np.dtype(plane_dtype).itemsize
 
         KH = 2 * MP2 if self.three_pass else MP2     # H rows [hi; lo]
         KS = 2 * MP2 if self.three_pass else MP2     # s cols [hi | lo]
 
         def vmem_est(FPp, fc, bc):
-            return (2 * FPp * bc * tile_d * 4            # Br/Bi scratch
+            return (TtP * bc * tile_d * 4                # TH accumulator
                     + 2 * fc * bc * KS * isz             # s chunk (dbl)
                     + 2 * 2 * fc * KH * tile_d * isz     # H1/H2 (dbl)
                     + 2 * fc * bc * tile_d * 4           # per-chunk dot
-                    + TtP * bc * tile_d * 4              # TH value
+                    + TtP * bc * tile_d * 4              # th_part value
                     + bc * TcP * tile_d * 4              # vt value
                     + 2 * bc * tile_d * 4                # out
                     + 2 * FPp * TtP * 4)                 # bases
 
         self.chunk_b = None
         plan = None
-        for bc in (512, 256, 128, 64, 32, 16, 8):
-            for n_fc in (1, 2, 3, 4, 6, 8, 12, 16, 24):
+        if plan_override is None:
+            plan_override = _TUNED_PLANS.get((mode, MP2))
+            if plan_override is not None:
+                # tuned plans were measured to compile, but re-check the
+                # estimate against the Mosaic ceiling for off-profile
+                # (D, F) combos and fall back to the search if exceeded
+                bc, n_fc = plan_override
+                fc = -(-F // n_fc)
+                if vmem_est(fc * n_fc, fc, bc) > 120 * 1024 * 1024:
+                    plan_override = None
+        if plan_override is not None:
+            bc, n_fc = plan_override
+            fc = -(-F // n_fc)
+            plan = (bc, n_fc, fc, fc * n_fc)
+        # fallback search: FEWEST f-chunks first (chunking splits the
+        # tail/head contraction into small-K HIGHEST dots — measured
+        # slower at every shape), then the largest frame chunk that fits
+        for n_fc in (1, 2, 3, 4, 6, 8, 12, 16, 24):
+            if plan:
+                break
+            for bc in (512, 256, 128, 64, 32, 16, 8):
                 fc = -(-F // n_fc)
                 fc = _round_up(fc, 1)
                 FPp = fc * n_fc
                 if vmem_est(FPp, fc, bc) < vmem_budget:
                     plan = (bc, n_fc, fc, FPp)
                     break
-            if plan:
-                break
         if plan is None:
             raise ValueError(
                 f"equiv kernel: no VMEM plan for D={D} M={M} F={F}")
@@ -448,8 +515,7 @@ def _equiv_forward_flat(signals, kt: EquivKernelTables, meta):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((BP, m.DP), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((FP, Bc, m.tile_d), jnp.float32),
-            pltpu.VMEM((FP, Bc, m.tile_d), jnp.float32),
+            pltpu.VMEM((m.TtP, Bc, m.tile_d), jnp.float32),
             pltpu.VMEM((Bc, m.tile_d), jnp.float32),
         ],
         interpret=m.interpret,
