@@ -227,6 +227,12 @@ def main(smoke: bool = False) -> None:
     ladder["lerp_reference_shape_equiv_exact"] = timed_ref(
         lambda f: freq_equiv.equiv_steered_power(f, et_ref),
         key="lerp_reference_shape_equiv_exact")
+    # ... and the fused equiv KERNEL — the production 'high' default at
+    # this shape (tuned plan (128, 3); BENCHMARKS.md "Fused equiv kernel")
+    ek_ref = FusedEquivBeamformer(t_ref)
+    ladder["lerp_reference_shape_equiv_kernel"] = timed_ref(
+        ek_ref._call, key="lerp_reference_shape_equiv_kernel")
+    del ek_ref
 
     from zybo_rt_sampler_image_detection_tpu.ops import freq
     ft = freq.make_freq_tables(ref_cfg, 100.0)
@@ -324,7 +330,7 @@ def main(smoke: bool = False) -> None:
     steal = _steal_ticks() - steal0
     print(f"# ladder: { {k: round(v, 1) for k, v in ladder.items()} } "
           f"(headline=high precision, best of fused 3-pass ~5e-06 / "
-          f"freq-equiv exact ~2e-06 / equiv kernel ~1.2e-05 rel err vs "
+          f"freq-equiv exact ~2e-06 / equiv kernel ~7e-06 rel err vs "
           f"exact f32) backend={jax.default_backend()}", file=sys.stderr)
     print(f"# medians of {R} repeat(s); rel spreads: {spreads}; "
           f"host steal ticks during run: {steal}", file=sys.stderr)
