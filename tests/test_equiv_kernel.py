@@ -42,6 +42,14 @@ def test_kernel_chunked_frequency_accumulation(tiny_cfg, rng, algorithm):
     np.testing.assert_allclose(got, ref, rtol=5e-5, atol=1e-12)
 
 
+def test_kernel_rejects_unknown_mode(tiny_cfg):
+    """'highest' belongs to the SteeringTables vocabulary, not the kernel
+    (which would silently fall through to single-pass bf16)."""
+    t = beamform.make_tables(tiny_cfg, "lerp", cache=False)
+    with pytest.raises(ValueError, match="mode"):
+        equiv_kernel.FusedEquivBeamformer(t, mode="highest")
+
+
 def test_kernel_f32_mode_most_accurate(tiny_cfg, rng):
     """'f32' mode (HIGHEST planes) lands within f32-reassociation
     distance of the exact XLA equiv path."""

@@ -95,6 +95,34 @@ def test_reset_determinism(tiny_cfg, rng):
         np.testing.assert_array_equal(a, b)
 
 
+def test_stream_declares_in_program_padding(tiny_cfg):
+    """The batched stages must not prepend their own pad prologue (an
+    extra ~40 ms tunnel dispatch per batch) — the stream pads inside its
+    fused program and says so."""
+    fn = make_mvdr_stream(tiny_cfg, "maps")
+    assert fn.pads_in_program is True
+
+
+def test_heatmap_warmup_resets_stateful_backend(tiny_cfg):
+    """start_heatmap's zero-frame warmup must not pollute a stateful
+    power_fn: a zeros frame scales P by alpha^-1 and consumes the
+    covariance first-frame replacement, skewing early Capon maps until
+    the first refresh (review finding, round 3)."""
+    from zybo_rt_sampler_image_detection_tpu.apps.pipeline import Pipeline
+    import zybo_rt_sampler_image_detection_tpu as zrt
+
+    cfg = zrt.Config.tiny().replace(udp_port=21931)
+    fn = make_mvdr_stream(cfg, "maps")
+    p = Pipeline(cfg, algorithm="lerp", replay_mode=True,
+                 backend="python", power_fn=fn)
+    try:
+        s = p.start_heatmap(warmup=True)
+        assert s.power_fn is fn
+        assert fn.state["n"] == 0          # warmup pollution dropped
+    finally:
+        p.stop()
+
+
 def test_single_frame_live_path(tiny_cfg, rng):
     """kind='maps' also serves the live single-frame loop: an (M, N)
     frame takes the per-frame recursion, returns an (X, Y) map, and

@@ -365,6 +365,10 @@ def make_mvdr_stream(cfg: Config, kind: str = "maps", alpha: float = 0.9,
     fn.reset = reset
     fn.tables = ft
     fn.state = state
+    # batched calls pad/upcast channel-sliced or f16 transfers inside the
+    # fused device program — the batched stages must NOT prepend their
+    # own pad prologue (an extra ~40 ms tunnel dispatch per batch)
+    fn.pads_in_program = True
     return fn
 
 
@@ -528,9 +532,10 @@ class BatchedHeatmapProducer(BatchedStage):
         if power_fn is None:
             power_fn = _batched_power_program(tables,
                                               receiver.cfg.n_microphones)
-        elif (channels and channels < receiver.cfg.n_microphones) \
-                or transfer != "f32":
-            # custom power_fn (fft/mvdr backends) with channel-sliced or
+        elif ((channels and channels < receiver.cfg.n_microphones)
+              or transfer != "f32") \
+                and not getattr(power_fn, "pads_in_program", False):
+            # custom power_fn (fft backend) with channel-sliced or
             # f16 transfers: restore the full-width f32 (B, M, N)
             # contract before calling it — without the pad the
             # freq-domain channel gather would silently clamp
@@ -538,6 +543,9 @@ class BatchedHeatmapProducer(BatchedStage):
             # is its own jitted program (the base_fn is an opaque
             # callable we can't fuse into): an eager astype+pad costs
             # 1-2 extra ~40 ms dispatches per batch through the tunnel.
+            # Backends that pad inside their own fused program (the mvdr
+            # stream) declare pads_in_program and skip this — the extra
+            # dispatch would cost ~40 ms/batch for a no-op.
             base_fn = power_fn
             n_full = receiver.cfg.n_microphones
             pad_prog = jax.jit(lambda f: _pad_full(f, n_full))
@@ -910,6 +918,12 @@ class Pipeline:
             zeros = np.zeros((self.cfg.n_microphones, self.cfg.n_samples),
                              np.float32)
             np.asarray(s.power_fn(zeros))
+            if getattr(s.power_fn, "reset", None):
+                # stateful backends (mvdr): drop the zero-frame warmup
+                # pollution AND precompile the periodic programs (reset
+                # is what compiles refresh/d0 — a mid-run first compile
+                # stalls the live loop for seconds)
+                s.power_fn.reset()
         self.stages.append(s)
         s.start()
         return s
@@ -937,6 +951,12 @@ class Pipeline:
         s = self.make_heatmap_batched(batch=batch, sink=sink)
         if warmup:
             s.warmup()
+            if getattr(self._power_fn, "reset", None):
+                # the stage may wrap the power_fn (pad prologue), so
+                # reset through the pipeline's handle — mirrors
+                # start_miso_batched: drop warmup pollution + precompile
+                # the periodic programs
+                self._power_fn.reset()
         return self.run_stage(s)
 
     def start_miso(self, warmup: bool = True):

@@ -268,6 +268,13 @@ class FusedEquivBeamformer:
         if mode is None:
             mode = {"high": "high", "highest": "f32"}.get(
                 et.precision, "bf16")
+        if mode not in ("high", "bf16", "f32"):
+            # fail loudly: an unknown string (e.g. the SteeringTables
+            # vocabulary's "highest") would otherwise silently fall
+            # through to the single-pass bf16 path (~4e-3) under a name
+            # promising the most accurate rung
+            raise ValueError(
+                f"equiv kernel mode must be high/bf16/f32, got {mode!r}")
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self.mode = mode

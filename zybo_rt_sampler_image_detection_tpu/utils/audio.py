@@ -130,7 +130,18 @@ class WavFileSink(AudioSink):
                 "the file open (%d chunks may be unflushed)",
                 self._q.qsize())
             return
-        self._wave.close()
+        try:
+            self._wave.close()
+        except OSError:
+            # close() patches the RIFF header on the same filesystem
+            # that just failed a data write (full disk, I/O error) —
+            # the sink's contract is to survive disk failure, and
+            # raising here would abort the caller's teardown
+            # (Pipeline.stop ends with sink.close())
+            import logging
+            logging.getLogger(__name__).warning(
+                "WavFileSink: header patch failed on close; the capture "
+                "may be truncated", exc_info=True)
 
 
 class SoundDeviceSink(AudioSink):                     # pragma: no cover
