@@ -407,3 +407,54 @@ def test_packet_loss_in_later_frame_zero_fills(backend):
         atol=2.0 / cfg.norm_factor)
     # the dropped columns hold zeros, NOT frame-0 samples (all > 0 here)
     assert np.all(got[:, dropped_cols] == 0.0)
+
+
+@pytest.mark.parametrize("backend", ["python", "native"])
+def test_lost_final_packet_does_not_leak_partial_frame(backend):
+    """Losing a frame's FINAL packet means that frame never publishes —
+    its partially-assembled samples must be DISCARDED, not left in the
+    buffer to leak into the next frame's lost-packet columns (review
+    finding, round 3: the buffer was only zeroed after a successful
+    publish)."""
+    port = 21916 if backend == "python" else 21917
+    cfg = zrt.Config.tiny().replace(udp_port=port)
+    rng = np.random.default_rng(17)
+    frames = [np.abs(rng.standard_normal(
+        (cfg.n_microphones, cfg.n_samples))).astype(np.float32) * 0.1 + 0.01
+        for _ in range(2)]
+    pkts = []
+    for i, f in enumerate(frames):
+        pkts.extend(protocol.frame_to_packets(
+            cfg, f, n_arrays=1, start_counter=i * cfg.n_samples,
+            exact_reference=False))
+    # drop frame 0's FINAL packet (it never publishes) AND two mid
+    # columns of frame 1
+    drop = {cfg.n_samples - 1, cfg.n_samples + 5, cfg.n_samples + 6}
+    r = receiver.Receiver(cfg, replay_mode=True, backend=backend,
+                          exact_reference=False)
+
+    def send():
+        time.sleep(0.2)
+        s = streamer.Streamer(cfg, n_arrays=1, exact_reference=False)
+        s.send_header()
+        for c, p in enumerate(pkts):
+            if c in drop:
+                continue
+            s._sock.sendto(p, (s.ip, s.port))
+            time.sleep(0.0005)
+        s.close()
+
+    threading.Thread(target=send, daemon=True).start()
+    r.connect(timeout=5.0)
+    got, seq = r.read_frame(fresh=True, last_seq=0, timeout=5.0)
+    r.disconnect()
+    assert seq == 1                       # only frame 1 ever published
+    n_ch = cfg.rows * cfg.columns
+    dropped_cols = [5, 6]
+    keep = [i for i in range(cfg.n_samples) if i not in dropped_cols]
+    np.testing.assert_allclose(
+        got[:n_ch][:, keep], frames[1][:n_ch][:, keep],
+        atol=2.0 / cfg.norm_factor)
+    # the dropped columns hold zeros, NOT frame-0's samples (all > 0):
+    # before the fix, frame 0's partial assembly leaked through here
+    assert np.all(got[:, dropped_cols] == 0.0)

@@ -336,6 +336,37 @@ def test_web_replay_selection(tmp_path):
         server.camera.stop()
 
 
+def test_web_rejects_malformed_slider():
+    """A malformed threshold/amount GET param must produce an HTTP 400
+    (and not start the backend) — an unhandled float('abc') used to kill
+    the request with no response and could leave the camera state
+    half-updated (review finding, round 3)."""
+    cfg = zrt.Config.tiny().replace(udp_port=21929)
+    from zybo_rt_sampler_image_detection_tpu.apps.web import make_server
+    server = make_server(cfg, replay=True, port=0, headless_camera=True)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        import urllib.error
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/enableBackend1?threshold=abc",
+                timeout=10)
+        assert exc.value.code == 400
+        assert server.camera.pipeline is None      # backend never started
+        assert server.camera.threshold == 0.0      # state untouched
+        # second param malformed -> neither applies (no half-update)
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}"
+                "/enableBackend1?threshold=0.7&amount=xyz", timeout=10)
+        assert server.camera.threshold == 0.0
+    finally:
+        server.shutdown()
+        server.camera.stop()
+
+
 def test_web_mvdr_backend():
     """Backend 4 (beyond reference): real-time MVDR over the web app —
     the route starts a pipeline whose power_fn is the streaming Capon map,

@@ -111,6 +111,12 @@ class VideoCamera:
                        else viz._CvCapture(camera_src))
         self._prev_heat = None
         self._lock = threading.Lock()
+        # frame rendering has its own lock: start() holds _lock for
+        # seconds (connect + compiles) and the MJPEG streams must not
+        # block on it
+        self._frame_lock = threading.Lock()
+        self._last_jpeg = None
+        self._last_jpeg_t = 0.0
         self.overlay_errors = 0
         self.last_overlay_error = ""
 
@@ -122,18 +128,22 @@ class VideoCamera:
             self._stop_locked()
             algo = _BACKENDS.get(backend, "pad")
             time_algo = "pad" if algo in ("fft", "mvdr") else algo
-            p = Pipeline(self.cfg, algorithm=time_algo,
-                         replay_mode=self.replay, audio_sink="null")
+            power_fn = None
             if algo == "fft":
                 from ..ops import freq
                 ft = freq.make_freq_tables(self.cfg)
-                p._power_fn = lambda f: freq.fft_steered_power(f, ft)
+                power_fn = lambda f: freq.fft_steered_power(f, ft)  # noqa: E731
             elif algo == "mvdr":
                 # streaming-inverse (RLS) Capon map per frame — the
                 # shared state machine owns the alpha-aware refresh
                 # cadence (see pipeline.make_mvdr_stream)
                 from .pipeline import make_mvdr_stream
-                p._power_fn = make_mvdr_stream(self.cfg, "maps")
+                power_fn = make_mvdr_stream(self.cfg, "maps")
+            # through the constructor (not a private poke) so Pipeline's
+            # power_fn/power_backend conflict validation applies
+            p = Pipeline(self.cfg, algorithm=time_algo,
+                         replay_mode=self.replay, audio_sink="null",
+                         power_fn=power_fn)
             p.connect()
             p.start_heatmap()
             if sound:
@@ -154,12 +164,31 @@ class VideoCamera:
         if self.pipeline is not None:
             self.pipeline.stop()
             self.pipeline = None
+        # a new backend must not EMA-blend with the old backend's last
+        # heatmap (ghost hotspots, possibly minutes stale)
+        self._prev_heat = None
 
     # -- frame rendering ---------------------------------------------------------
 
     def get_frame(self):
         """camera frame + EMA heatmap overlay -> JPEG (handle_image,
-        ``camera.py:76-104``)."""
+        ``camera.py:76-104``).
+
+        Serialized + briefly cached: each /monitor client runs its own
+        generator loop against this SHARED camera, so without the lock
+        concurrent clients race on camera.read()/_prev_heat, and without
+        the cache they steal q_power frames from each other (each stream
+        gets the overlay only ~1/n of the time)."""
+        with self._frame_lock:
+            now = time.monotonic()
+            if (self._last_jpeg is not None
+                    and now - self._last_jpeg_t < 0.03):
+                return self._last_jpeg
+            jpeg = self._render_frame()
+            self._last_jpeg, self._last_jpeg_t = jpeg, time.monotonic()
+            return jpeg
+
+    def _render_frame(self):
         ok, frame = self.camera.read()
         if not ok:
             frame = np.zeros((480, 640, 3), np.uint8)
@@ -271,10 +300,26 @@ def make_server(cfg: Config = None, replay: bool = False, port: int = 8000,
             self.wfile.write(body)
 
         def _sliders(self, q):
-            if "threshold" in q:
-                cam.threshold = float(q["threshold"][0])
-            if "amount" in q:
-                cam.amount = float(q["amount"][0])
+            """Apply the threshold/amount GET sliders (views.py:20-30).
+            Returns False (after sending a 400) on a malformed value —
+            an unhandled float('abc') would otherwise kill the request
+            with no HTTP response, and a bad second param would leave
+            the camera state half-updated."""
+            vals = {}
+            for key in ("threshold", "amount"):
+                if key in q:
+                    try:
+                        vals[key] = float(q[key][0])
+                    except ValueError:
+                        body = f"bad {key}: {q[key][0]!r}".encode()
+                        self.send_response(400)
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+                        return False
+            for key, v in vals.items():
+                setattr(cam, key, v)
+            return True
 
         def do_GET(self):
             u = urlparse(self.path)
@@ -292,14 +337,16 @@ def make_server(cfg: Config = None, replay: bool = False, port: int = 8000,
                     self.send_response(404)
                     self.end_headers()
                     return
-                self._sliders(q)
+                if not self._sliders(q):
+                    return
                 cam.start(n)
                 self._page(action=u.path)
             elif u.path == "/sound":
                 # ?beam=mvdr selects the adaptive (streaming-MVDR)
                 # distortionless listening beam; default is the
                 # reference's pad + delay-and-sum MISO
-                self._sliders(q)
+                if not self._sliders(q):
+                    return
                 beam = q.get("beam", ["time"])[0]
                 cam.start(1, sound=True,
                           sound_beam="mvdr" if beam == "mvdr" else "time")

@@ -96,6 +96,8 @@ void recv_loop() {
     std::vector<uint8_t> pkt(psize);
     std::vector<float> frame((size_t)g.n_mics * g.n_samples, 0.0f);
     const double inv_norm = 1.0 / g.norm;
+    long long asm_base = -1;  // counter base of the frame being assembled
+    bool asm_dirty = false;   // buffer holds samples not yet published
 
     while (!g.stop.load(std::memory_order_relaxed)) {
         ssize_t n = recv(g.sock, pkt.data(), psize, 0);
@@ -114,11 +116,22 @@ void recv_loop() {
         // Frame slot from the packet counter (unused by the reference):
         // keeps assembly aligned across startup offsets and packet loss.
         const int step = (int)(h->counter % (uint32_t)g.n_samples);
+        const long long base = (long long)h->counter - step;
+        if (base != asm_base) {
+            // a new frame began without the previous one publishing (its
+            // FINAL packet was lost): discard the partial assembly so its
+            // samples cannot leak into this frame's lost-packet columns
+            // (the documented zeros contract)
+            if (asm_dirty)
+                std::memset(frame.data(), 0, frame.size() * sizeof(float));
+            asm_base = base;
+        }
         const int32_t* stream = (const int32_t*)(pkt.data() + sizeof(MsgHeader));
         for (int s = 0; s < n_ch; s++) {
             frame[(size_t)s * g.n_samples + step] =
                 (float)((double)stream[g.perm[s]] * inv_norm);
         }
+        asm_dirty = true;
         if (step == g.n_samples - 1) {
             {
                 // Frame ring slot (seq+1) % cap; write under the mutex so
@@ -137,6 +150,7 @@ void recv_loop() {
             // Zero the assembly buffer so packets lost in any later frame
             // leave zeros (the documented contract), not stale samples.
             std::memset(frame.data(), 0, frame.size() * sizeof(float));
+            asm_dirty = false;
         }
     }
 }

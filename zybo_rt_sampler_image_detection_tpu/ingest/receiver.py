@@ -251,6 +251,8 @@ class Receiver:
         inv_norm = 1.0 / cfg.norm_factor
         frame = np.zeros((cfg.n_microphones, cfg.n_samples), np.float32)
         psize = protocol.packet_size(cfg)
+        asm_base = -1          # counter base of the frame being assembled
+        asm_dirty = False      # buffer holds samples not yet published
         while not self._stop.is_set():
             try:
                 data = self._sock.recv(psize)
@@ -275,7 +277,17 @@ class Receiver:
             # receiver.h:56): keeps frame assembly aligned across startup
             # offsets and packet loss instead of counting received packets.
             step = counter % cfg.n_samples
+            base = counter - step
+            if base != asm_base:
+                # a new frame began without the previous one publishing
+                # (its FINAL packet was lost): discard the partial
+                # assembly so its samples cannot leak into this frame's
+                # lost-packet columns (the documented zeros contract)
+                if asm_dirty:
+                    frame[:] = 0.0
+                asm_base = base
             frame[:n_ch, step] = stream[perm] * inv_norm
+            asm_dirty = True
             if step == cfg.n_samples - 1:
                 self.buffer.publish(frame)
                 self.stats.frames += 1
@@ -283,6 +295,7 @@ class Receiver:
                 # leave zeros (the documented contract), not stale samples
                 # from the previous frame.
                 frame[:] = 0.0
+                asm_dirty = False
 
     # -- native engine -------------------------------------------------------
 

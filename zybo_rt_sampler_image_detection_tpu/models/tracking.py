@@ -105,10 +105,13 @@ def revive_candidates(candidates: List[list], prev_detections: List[list],
     """The hysteresis fallback (yolo_smooth_tracking.py:248-259): boost a
     low-confidence candidate to ``confh`` when a correlation-tracked
     previous box confirms it; otherwise mark it lost (conf 0)."""
+    # the correlation track depends only on the previous box — compute
+    # it once per prev, not per (candidate, prev): the sliding-window
+    # template match is the most expensive step in the tracking loop
+    preds = [track_with_correlation(prev_frame, frame, prev[:4])
+             for prev in prev_detections]
     for cand in candidates:
-        for prev in prev_detections:
-            pred_box, corr = track_with_correlation(prev_frame, frame,
-                                                    prev[:4])
+        for pred_box, corr in preds:
             if (compute_iou(pred_box, cand[:4]) > iou_thresh
                     or corr > corr_thresh):
                 cand[4] = confh
@@ -197,7 +200,10 @@ def process_video(video_path, model_path=None, rec=True, detector=None,
         if not valid and prev_frame is not None:
             revive_candidates(candidates, prev_detections, prev_frame,
                               frame, confh)
-        prev_detections = [d for d in detections if d[4] >= confh] or valid
+        # revived candidates were boosted in place to confh, so the
+        # >= confh filter already covers them AND every `valid` entry
+        # (yolo_smooth_tracking.py:260 has the same single filter)
+        prev_detections = [d for d in detections if d[4] >= confh]
         prev_frame = frame.copy()
         for box in (valid or [c for c in candidates if c[4] >= confh]):
             x1, y1, x2, y2 = map(int, box[:4])

@@ -322,7 +322,7 @@ def sharded_equiv_kernel_power(mesh: Mesh, t, mode=None, interpret=None):
                   P(None, None, "model"), P(None, None, "model"),
                   P(None, None), P(None, None), P(None, None),
                   P(None, None, "model") if has_wc else P(None),
-                  P(None) if has_adp else P(None)),
+                  P(None)),    # adaptive (or its 1-elem dummy): replicated
         out_specs=P("data", "model"),
         check_vma=False,
     )
