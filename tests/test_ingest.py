@@ -458,3 +458,26 @@ def test_lost_final_packet_does_not_leak_partial_frame(backend):
     # the dropped columns hold zeros, NOT frame-0's samples (all > 0):
     # before the fix, frame 0's partial assembly leaked through here
     assert np.all(got[:, dropped_cols] == 0.0)
+
+
+@pytest.mark.parametrize("backend", ["python", "native"])
+def test_header_array_count_over_capacity_rejected(backend):
+    """A header declaring more arrays than the config can hold must be
+    REJECTED at connect: the receive loop writes n_arrays*rows*cols frame
+    rows, and a mismatched stream wrote past the n_mics-row buffer (heap
+    corruption — found via `demo fullrate --preset tiny` with the old
+    3-array emulator default against the 1-array tiny config)."""
+    port = 21918 if backend == "python" else 21919
+    cfg = zrt.Config.tiny().replace(udp_port=port)  # capacity: 1 array
+    r = receiver.Receiver(cfg, replay_mode=True, backend=backend,
+                          exact_reference=False)
+
+    def send():
+        time.sleep(0.2)
+        s = streamer.Streamer(cfg, n_arrays=3, exact_reference=False)
+        s.send_header()                 # header says 3 arrays
+        s.close()
+
+    threading.Thread(target=send, daemon=True).start()
+    with pytest.raises(ConnectionError, match="array"):
+        r.connect(timeout=5.0)

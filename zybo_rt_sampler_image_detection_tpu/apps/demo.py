@@ -52,6 +52,19 @@ def _add_common(p):
                         "fastest; this overrides the shape bar)")
 
 
+def _resolve_arrays(args, cfg) -> int:
+    """--arrays default = the config's active_arrays; explicit values are
+    validated against capacity (a 3-array stream at the 1-array tiny
+    config used to overflow the ingest frame buffer — heap corruption)."""
+    cap = cfg.n_microphones // (cfg.rows * cfg.columns)
+    n = args.arrays if args.arrays else min(cfg.active_arrays, cap)
+    if not 1 <= n <= cap:
+        raise SystemExit(
+            f"--arrays {n} exceeds this config's capacity ({cap} array(s) "
+            f"of {cfg.rows}x{cfg.columns} in {cfg.n_microphones} mics)")
+    return n
+
+
 def _make_pipeline(args, audio_sink="null", audio_path=None,
                    ring_frames: int = 64) -> Pipeline:
     cfg = {"default": Config, "reference": Config.reference,
@@ -158,19 +171,22 @@ def cmd_miso(args):
     sink = args.audio or ("auto" if not args.headless else "wav")
     p = _make_pipeline(args, audio_sink=sink, audio_path=args.out,
                        ring_frames=max(64, 4 * args.batch))
-    if args.fullrate or args.beam == "mvdr":
-        stage = p.make_miso_batched(batch=args.batch, beam=args.beam)
-        stage.warmup()
-        if getattr(stage.beam_fn, "reset", None):
-            stage.beam_fn.reset()
-        p.connect()
-        p.run_stage(stage)
-    else:
-        stage = None
-        p.connect()
-        p.start_miso()
-    p.steer_cartesian_degree(args.azimuth, args.elevation)
+    stage = None
     try:
+        # inside the try: a connect/bring-up failure must still tear the
+        # pipeline down (leaked receiver/stage threads keep the process
+        # alive after the traceback)
+        if args.fullrate or args.beam == "mvdr":
+            stage = p.make_miso_batched(batch=args.batch, beam=args.beam)
+            stage.warmup()
+            if getattr(stage.beam_fn, "reset", None):
+                stage.beam_fn.reset()
+            p.connect()
+            p.run_stage(stage)
+        else:
+            p.connect()
+            p.start_miso()
+        p.steer_cartesian_degree(args.azimuth, args.elevation)
         t0 = time.time()
         while time.time() - t0 < args.seconds:
             time.sleep(0.2)
@@ -208,7 +224,8 @@ def cmd_emulate(args):
     cfg = Config()
     if args.port:
         cfg = cfg.replace(udp_port=args.port)
-    s = Streamer(cfg, n_arrays=args.arrays)
+    n_arrays = _resolve_arrays(args, cfg)
+    s = Streamer(cfg, n_arrays=n_arrays)
     s.send_header()
     rate = None if args.fast else cfg.sample_rate
     if args.npy:
@@ -217,7 +234,7 @@ def cmd_emulate(args):
         t = np.arange(cfg.n_samples * 64) / cfg.sample_rate
         sig = np.tile(np.sin(2 * np.pi * args.freq * t).astype(np.float32),
                       (cfg.n_microphones, 1)) * 0.1
-    print(f"emulating {args.arrays} array(s) on "
+    print(f"emulating {n_arrays} array(s) on "
           f"{cfg.udp_replay_ip}:{cfg.udp_port} "
           f"({'max rate' if args.fast else 'real-time'})")
     try:
@@ -247,12 +264,13 @@ def cmd_fullrate(args):
     """
     from ..ingest.streamer import NativeStreamer
 
-    cfg = Config()
-    if args.port:
-        cfg = cfg.replace(udp_port=args.port)
-
-    n_ch = args.arrays * cfg.rows * cfg.columns
     p = _make_pipeline(args, ring_frames=max(64, 4 * args.batch))
+    # the emulator MUST use the pipeline's config (it honors --preset /
+    # --port): a mismatched packet layout would make every datagram
+    # invalid for the receiver
+    cfg = p.cfg
+    n_arrays = _resolve_arrays(args, cfg)
+    n_ch = n_arrays * cfg.rows * cfg.columns
     stats = {"batches": 0}
 
     def sink(powers, first_seq):
@@ -299,7 +317,7 @@ def cmd_fullrate(args):
     t = np.arange(cfg.n_samples * 64) / cfg.sample_rate
     sig = np.tile(np.sin(2 * np.pi * 8000.0 * t).astype(np.float32),
                   (n_ch, 1)) * 0.1
-    emu = NativeStreamer(cfg, n_arrays=args.arrays)
+    emu = NativeStreamer(cfg, n_arrays=n_arrays)
     emu.start(sig, rate=cfg.sample_rate)
     try:
         p.connect()                        # first packet = header
@@ -402,7 +420,15 @@ def cmd_sensorfusion(args):
                     window=(args.width, args.height), display=disp)
 
     class Running:
-        value = 1
+        # wall-clock deadline, not a constant: if a producer thread dies
+        # (detector exception, receiver timeout) the queues stop filling
+        # and a constant-1 flag would hang the demo forever instead of
+        # stopping and reporting what it composited
+        deadline = time.time() + max(60.0, frames_wanted * 5.0)
+
+        @property
+        def value(self):
+            return time.time() < self.deadline
 
     t0 = time.time()
     viewer.loop(p.q_power, Running(), q_viewer=p.q_viewer,
@@ -468,7 +494,8 @@ def main(argv=None):
     p = sub.add_parser("emulate", help="software FPGA packet streamer")
     p.add_argument("--npy", default=None)
     p.add_argument("--freq", type=float, default=8000.0)
-    p.add_argument("--arrays", type=int, default=3)
+    p.add_argument("--arrays", type=int, default=None,
+                   help="default: the config's active_arrays")
     p.add_argument("--fast", action="store_true")
     p.add_argument("--once", action="store_true")
     p.add_argument("--port", type=int, default=None)
@@ -480,7 +507,8 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("--seconds", type=float, default=30.0)
     p.add_argument("--batch", type=int, default=64)
-    p.add_argument("--arrays", type=int, default=3)
+    p.add_argument("--arrays", type=int, default=None,
+                   help="default: the config's active_arrays")
     p.add_argument("--audio", default=None, choices=["null", "wav"],
                    help="also run the gapless listening stage into this "
                         "sink (pass now requires 0 audio underruns)")

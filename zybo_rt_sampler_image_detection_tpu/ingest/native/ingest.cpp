@@ -290,6 +290,15 @@ int zrt_ingest_connect(const char* ip, int port, int n_mics, int n_samples,
     const MsgHeader* h = (const MsgHeader*)pkt.data();
     if (h->protocol_ver != protocol_ver) { close(g.sock); g.sock = -1; return -4; }
     g.n_arrays = h->n_arrays;
+    // Reject a header whose array count exceeds this config's capacity:
+    // recv_loop writes frame rows for n_arrays*rows*cols channels, and a
+    // mismatched stream would write past the n_mics-row frame buffer
+    // (heap corruption — found via `demo fullrate --preset tiny` with
+    // the default 3-array emulator against the 1-array tiny config).
+    if (h->n_arrays < 1 ||
+        (long long)h->n_arrays * rows * cols > (long long)n_mics) {
+        close(g.sock); g.sock = -1; return -5;
+    }
     g.last_counter = h->counter;
 
     build_perm();

@@ -86,6 +86,12 @@ class NativeIngest:
             int(ring_frames))
         if rc == -4:
             raise ConnectionError("wrong FPGA protocol version")
+        if rc == -5:
+            cap = cfg.n_microphones // (cfg.rows * cfg.columns)
+            raise ConnectionError(
+                f"header array count exceeds this config's capacity "
+                f"({cap} array(s) of {cfg.rows}x{cfg.columns} in "
+                f"{cfg.n_microphones} mics)")
         if rc < 0:
             raise ConnectionError(f"native ingest connect failed ({rc})")
         return rc

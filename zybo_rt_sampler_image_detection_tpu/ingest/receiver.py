@@ -172,6 +172,14 @@ class Receiver:
                 f"wrong FPGA protocol version {ver} != "
                 f"{cfg.fpga_protocol_version}")
         self.n_arrays = int(n_arrays)
+        cap = cfg.n_microphones // (cfg.rows * cfg.columns)
+        if not 1 <= self.n_arrays <= cap:
+            self._sock.close()
+            raise ConnectionError(
+                f"header declares {self.n_arrays} array(s); this config "
+                f"fits {cap} ({cfg.n_microphones} mics / "
+                f"{cfg.rows}x{cfg.columns}) — a mismatched stream would "
+                f"overflow the frame buffer")
         self.stats.last_counter = counter
         self._sock.settimeout(0.5)
         self._stop.clear()

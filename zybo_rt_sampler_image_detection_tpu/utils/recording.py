@@ -86,6 +86,12 @@ def record_udp_to_pcap(cfg: Config, seconds: float, path: str,
             data = sock.recv(psize)
         except socket.timeout:
             continue
+        if len(data) < psize:
+            # stray/short datagram (port scan, misconfigured sender):
+            # recording it would crash unpack_header AFTER the capture
+            # completes, losing the timestamp CSV (the receiver loop has
+            # the same guard)
+            continue
         payloads.append(data)
         stamps.append(time.time())
     sock.close()

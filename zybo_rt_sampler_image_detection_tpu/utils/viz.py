@@ -59,12 +59,13 @@ def colorize_power(img01: np.ndarray, amount: float = 0.5,
     color_val = (255.0 * np.power(p, exponent)).astype(np.int64)
     color_val = np.clip(color_val, 0, 255)
     painted = (img01 >= amount)
-    small = np.zeros((Y, X, 3), np.uint8)
     src = colors[color_val]                       # (X, Y, 3)
     small_flipped = np.where(painted[..., None], src, 0).astype(np.uint8)
-    # small[Y-1-y, X-1-x] = src[x, y]
-    small[...] = small_flipped.transpose(1, 0, 2)[::-1, ::-1]
-    return small
+    # small[Y-1-y, X-1-x] = src[x, y] — one contiguous pass (this runs
+    # per displayed frame; the previous zeros-then-overwrite paid a dead
+    # fill plus a full-image copy)
+    return np.ascontiguousarray(
+        small_flipped.transpose(1, 0, 2)[::-1, ::-1])
 
 
 def log_normalize(image: np.ndarray) -> np.ndarray:
@@ -262,20 +263,35 @@ class Viewer:
              decider=None, max_frames: Optional[int] = None):
         """One display iteration per (power, camera, yolo) triple
         (visual.py:405-484)."""
+        import queue as _queue
+
         from ..fusion.decider import SensorFusionDecider
         if decider is None:
             decider = SensorFusionDecider((640, 360))
         prev = np.zeros((self.window[1], self.window[0], 3), np.uint8)
         n = 0
+        # items already dequeued are CARRIED across timeouts — the three
+        # gets are not atomic, and dropping a fetched (yolo, power) pair
+        # because the camera queue timed out would silently lose frames
+        # every iteration while one producer stalls
+        pend_yolo = pend_power = pend_frame = None
         while self._running(running) and (max_frames is None
                                           or n < max_frames):
             try:
-                yolo_no, yolo_frame, conf = q_inference.get(timeout=0.5)
-                output, power_no = q_power.get(timeout=0.5)
-                frame_no, frame = (q_viewer.get(timeout=0.5)
-                                   if q_viewer is not None else (None, None))
-            except Exception:
-                continue
+                if q_inference is not None and pend_yolo is None:
+                    pend_yolo = q_inference.get(timeout=0.5)
+                if pend_power is None:
+                    pend_power = q_power.get(timeout=0.5)
+                if q_viewer is not None and pend_frame is None:
+                    pend_frame = q_viewer.get(timeout=0.5)
+            except _queue.Empty:
+                continue        # keep what we have; retry the missing queue
+            yolo_no, yolo_frame, conf = (pend_yolo if pend_yolo is not None
+                                         else (None, None, 0.0))
+            output, power_no = pend_power
+            frame_no, frame = (pend_frame if pend_frame is not None
+                               else (None, None))
+            pend_yolo = pend_power = pend_frame = None
             for q in (q_inference, q_power, q_viewer):
                 if q is not None and hasattr(q, "task_done"):
                     try:
