@@ -137,9 +137,12 @@ def main(smoke: bool = False) -> None:
     for name, kw in rungs:
         cfg = cfg0.replace(**kw)
         tables = beamform.make_tables(cfg, "lerp", cache=False)
-        xla_rate = timed(jax.jit(
-            lambda f, t=tables: beamform.steered_power(f, t)),
-            key=f"{name}_xla")
+        # NO jit(lambda ... t=tables) wrapper: a default argument lowers
+        # as a baked constant (the CLAUDE.md minutes-long-compile / HTTP
+        # 413 failure mode); steered_power is already jitted with the
+        # tables as pytree ARGUMENTS.
+        xla_rate = timed(lambda f: beamform.steered_power(f, tables),
+                         key=f"{name}_xla")
         ladder[f"{name}_xla"] = xla_rate
         best = xla_rate
         fused = FusedBeamformer(tables)
@@ -189,8 +192,7 @@ def main(smoke: bool = False) -> None:
     cfg_hi = cfg0.replace(matmul_precision="high")
     for algo in ("pad", "truncated", "convolve", "hybrid"):
         tables = beamform.make_tables(cfg_hi, algo, cache=True)
-        rate = timed(jax.jit(
-            lambda f, t=tables: beamform.steered_power(f, t)))
+        rate = timed(lambda f, t=tables: beamform.steered_power(f, t))
         fused = FusedBeamformer(tables)
         if fused.fits_vmem:
             rate = max(rate, timed(fused._call))

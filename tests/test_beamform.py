@@ -164,3 +164,25 @@ def test_miso_beams_multi(tiny_cfg, frame):
     singles = np.stack([np.asarray(beamform.miso_beam(frame, tables, d))
                         for d in dirs])
     np.testing.assert_allclose(multi, singles, rtol=1e-6, atol=1e-8)
+
+
+def test_miso_beams_multi_batched(tiny_cfg):
+    """Batched signals must come back (B, K, N) as documented — the old
+    moveaxis destination (-3) was a no-op on 3-D output, silently
+    returning direction-major (K, B, N) data (review finding, round 3)."""
+    from conftest import synth_frame
+
+    tables = beamform.make_lerp_tables(tiny_cfg)
+    dirs = np.array([0, 5, 17])
+    # local generator: the session-scoped rng fixture's draw order is
+    # load-bearing for downstream tolerance gates
+    local = np.random.default_rng(23)
+    frames = np.stack([synth_frame(tiny_cfg, local, kind="mixed")
+                       for _ in range(4)])
+    multi = np.asarray(beamform.miso_beams_multi(frames, tables, dirs))
+    assert multi.shape == (4, len(dirs), tiny_cfg.n_samples)
+    for b in range(4):
+        for k, d in enumerate(dirs):
+            ref = np.asarray(beamform.miso_beam(frames[b], tables, d))
+            np.testing.assert_allclose(multi[b, k], ref,
+                                       rtol=1e-6, atol=1e-8)

@@ -412,7 +412,7 @@ def test_mvdr_maps_scan_deep_block(tiny_cfg, rng):
                                rtol=1e-3, atol=2e-4)
 
 
-def test_mvdr_maps_scan_carried_d_matches_blocked(tiny_cfg, rng):
+def test_mvdr_maps_scan_carried_d_matches_blocked(tiny_cfg):
     """Streaming carry: four B=16 calls threading d0/return_d run the
     SAME op sequence as one B=64 call (the chunk boundary and the call
     boundary are the same code path), so the O(F M^2 D) quadratic form
@@ -424,6 +424,10 @@ def test_mvdr_maps_scan_carried_d_matches_blocked(tiny_cfg, rng):
     on the rest (measured 2.6e-4 / 1.4e-2)."""
     cfg = tiny_cfg
     t = freq.make_freq_tables(cfg, 2000.0, 20000.0)
+    # OWN seeded generator: these gates sit at the drift-amplified
+    # tolerance edge, so the data must not depend on how many draws
+    # earlier tests consumed from the shared session rng
+    rng = np.random.default_rng(31)
     frames = np.stack([synth_frame(cfg, rng, freq=2500.0 + 120.0 * i)
                        for i in range(64)])
     st0 = freq.init_precision(t, load=1e-2)

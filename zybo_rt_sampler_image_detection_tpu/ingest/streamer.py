@@ -7,9 +7,17 @@ the real v2/UDP one), replay mode via ``udpreplay`` on loopback
 (``main.pyx:602-612``).
 
 Sources: synthetic signals, ``.npy`` recordings (``record.py`` format:
-(n_mics, T) float32), or pcap files.  Packets are paced to the real
-48 828 Hz sample rate by default (one datagram per sample) or sent as fast
-as possible with ``rate=None``.
+(n_mics, T) float32), or pcap files.
+
+Pacing conventions (they DIFFER between the two streamers — callers
+swapping one for the other must map the rate argument):
+
+* ``Streamer`` (Python): ``rate=None`` (the default) sends UNPACED, as
+  fast as the socket accepts — the right default for test fixtures;
+  pass ``rate=cfg.sample_rate`` for real-time pacing.
+* ``NativeStreamer`` (C++ line-rate emulator): ``rate=None`` paces at
+  the config sample rate (its whole point is true line rate); ``rate=0``
+  is unpaced.
 """
 
 from __future__ import annotations

@@ -256,7 +256,6 @@ def dryrun_train_step(mesh: Mesh) -> float:
     ``__graft_entry__.dryrun_multichip``)."""
     cfg = YoloConfig(input_size=64, width_mult=0.25)
     trainer = Trainer(cfg, mesh=mesh)
-    n_data = mesh.shape["data"] * mesh.shape["model"]
     B = max(2, mesh.shape["data"]) * 2
     rng = np.random.default_rng(0)
     images = rng.random((B, 64, 64, 3), np.float32)

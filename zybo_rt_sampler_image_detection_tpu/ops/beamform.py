@@ -491,7 +491,10 @@ def miso_beams_multi(signals: jax.Array, t: SteeringTables,
     program instead of K dispatches)."""
     fn = lambda d: miso_beam(signals, t, d)
     out = jax.vmap(fn)(jnp.asarray(directions))
-    return jnp.moveaxis(out, 0, -3) if out.ndim > 2 else out
+    # batched input: vmap produced (K, B, N) -> (B, K, N).  (moveaxis
+    # destination must be -2: with a 3-D array, destination -3 IS axis 0
+    # and the old code silently returned direction-major data.)
+    return jnp.moveaxis(out, 0, -2) if out.ndim > 2 else out
 
 
 def steer_index(cfg: Config, azimuth_deg: float, elevation_deg: float) -> int:
