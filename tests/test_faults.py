@@ -99,3 +99,54 @@ def test_miso_pad2_parity():
     for i, m in enumerate(active):
         oracle.pad_delay(frame[m], out, int(delays[m]))
     np.testing.assert_allclose(got, out, rtol=1e-5, atol=1e-7)
+
+
+def _reference_delays_angles(cfg):
+    """Literal transcription of ``directions.pyx:126-157`` — the
+    multi-slot quirk included: only board 0 is written, then the global
+    ``-= smallest`` puts slots 1+ at the constant ``-smallest``."""
+    d = 0.02
+    n_total = cfg.rows * cfg.columns * cfg.array_slots
+    samp = np.zeros((cfg.max_res_x, cfg.max_res_y, n_total), np.float32)
+    for xi, x in enumerate(np.linspace(-cfg.max_angle, cfg.max_angle,
+                                       cfg.max_res_x)):
+        xf = np.sin(x * -np.pi / 180.0)
+        for yi, y in enumerate(np.linspace(-cfg.max_angle, cfg.max_angle,
+                                           cfg.max_res_y)):
+            yf = np.sin(y * -np.pi / 180.0)
+            smallest = 0.0
+            for row in range(cfg.rows):
+                for col in range(cfg.columns):
+                    half = d / 2.0
+                    tc = col * d - cfg.columns * half + half
+                    tr = row * d - cfg.rows * half + half
+                    v = tc * xf + tr * yf
+                    if v < smallest:
+                        smallest = v
+                    samp[xi, yi, row * cfg.columns + col] = v
+            samp[xi, yi, :] -= smallest
+    samp *= cfg.sample_rate / cfg.propagation_speed
+    return samp
+
+
+def test_angle_grid_delays_multi_slot_quirk():
+    """calculate_delays_angles / calculate_delay_miso must reproduce the
+    reference's multi-board quirk: steering delays on board 0 ONLY,
+    slots 1+ at the constant -smallest (round-3 parity fix — the old
+    code replicated board 0 across slots, and the shared oracle made
+    every self-consistent test blind to it)."""
+    cfg = zrt.Config.tiny().replace(n_microphones=32, array_slots=2,
+                                    active_arrays=2)
+    got = geometry.calculate_delays_angles(cfg)
+    ref = _reference_delays_angles(cfg)
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+    nb = cfg.rows * cfg.columns
+    # slot 1 is a per-pixel constant, NOT the board-0 pattern
+    assert np.allclose(got[..., nb:], got[..., nb:nb + 1])
+    off_center = got[cfg.max_res_x - 1, 0]
+    assert not np.allclose(off_center[:nb], off_center[nb:])
+
+    # single-direction variant: same quirk, int truncation included
+    dm = geometry.calculate_delay_miso(cfg, 17.0, -9.0)
+    assert (dm[nb:] == dm[nb]).all()
+    assert not np.array_equal(dm[:nb], dm[nb:])

@@ -67,7 +67,14 @@ def make_freq_tables(cfg: Config, freq_low: Optional[float] = None,
         freq_high = cfg.freq_band_high
     phase, (lo, hi) = geometry.phase_shift_tensor(cfg, freq_low, freq_high)
     F, M, X, Y = phase.shape
-    active, _ = geometry.active_microphones(cfg)
+    # the channel gather must use the SAME mic selection the phase tensor
+    # was built over (the fft model spans active_arrays boards, the main
+    # model spans array_slots — they differ off the shipped profiles)
+    if cfg.fft_mic_model == "fft":
+        active, _ = geometry.active_microphones_fft(cfg)
+    else:
+        active, _ = geometry.active_microphones(cfg)
+    assert len(active) == M, (len(active), M)
 
     N = cfg.n_samples
     n = np.arange(N)[:, None]

@@ -86,6 +86,36 @@ def r_prime(cfg: Config) -> np.ndarray:
     return rp[:, active]
 
 
+def active_microphones_fft(cfg: Config) -> tuple[np.ndarray, int]:
+    """The FFT stack's own active-mic selection
+    (``realtime_scripts/active_microphones.py:4-45``): the same
+    block-hstack + decimation + deadmap logic as
+    :func:`active_microphones`, but spanning ``ACTIVE_ARRAYS`` boards —
+    NOT the ``array_slots`` the main ``directions.pyx`` model spans.
+    Pairing the fft mic model with the main (slot-spanning) selection
+    would index past the coordinates :func:`r_prime_fft` fills, silently
+    steering those mics from the array origin."""
+    mode = cfg.skip_n_mics
+    rows = np.arange(0, cfg.rows, mode)
+    columns = np.arange(0, cfg.columns * cfg.active_arrays, mode)
+    arr_elem = cfg.rows * cfg.columns
+    blocks = [
+        np.arange(a * arr_elem, (a + 1) * arr_elem).reshape(cfg.rows,
+                                                            cfg.columns)
+        for a in range(cfg.active_arrays)
+    ]
+    microphones = np.hstack(blocks)
+    unused = set(int(m) for m in cfg.unused_mics)
+    active = [
+        int(microphones[r, c])
+        for r in rows
+        for c in columns
+        if int(microphones[r, c]) not in unused
+    ]
+    active = np.sort(np.asarray(active, dtype=np.int64))
+    return active, len(active)
+
+
 def r_prime_fft(cfg: Config) -> tuple[np.ndarray, np.ndarray]:
     """The FFT stack's own mic model (``realtime_scripts/calc_r_prime.py:
     9-24``), which diverges from ``directions.pyx``: the plane is lowered by
@@ -113,7 +143,7 @@ def r_prime_fft(cfg: Config) -> tuple[np.ndarray, np.ndarray]:
                               - cfg.camera_offset)
                 idx += 1
     rp[0, :] += (cfg.active_arrays - 1) * sep / 2
-    active, _ = active_microphones(cfg)
+    active, _ = active_microphones_fft(cfg)
     return rp, rp[:, active]
 
 
@@ -148,13 +178,17 @@ def calculate_delays(cfg: Config) -> np.ndarray:
 
 
 def calculate_delays_angles(cfg: Config) -> np.ndarray:
-    """Angle-grid delay model over all (not just active) mics of ONE board
-    layout, (x_res, y_res, rows*columns*array_slots) float32.
+    """Angle-grid delay model, (x_res, y_res, rows*columns*array_slots)
+    float32 — the table behind the truncated algorithm.
 
-    Mirrors ``directions.pyx:126-157`` (note: the reference computes per-board
-    coordinates only — columns/rows of a single 8x8 — and tiles them across
-    slots implicitly by leaving the remaining entries untouched; we replicate
-    the same per-board xy model for every slot).
+    Mirrors ``directions.pyx:126-157`` EXACTLY, including its multi-board
+    quirk: the reference fills only board 0's ``rows*columns`` entries
+    with steering delays, then subtracts the per-pixel ``smallest`` from
+    the WHOLE array — so every slot-1+ entry ends up at the constant
+    ``-smallest`` (no steering), not a copy of the board-0 pattern.
+    (Round-3 parity fix: this code used to replicate board 0 across
+    slots, which the reference never does; the shared oracle made tests
+    blind to it.)
     """
     d = cfg.element_distance
     half = d / 2.0
@@ -183,15 +217,21 @@ def calculate_delays_angles(cfg: Config) -> np.ndarray:
     out = np.zeros((cfg.max_res_x, cfg.max_res_y, n_total), dtype=np.float32)
     out[:, :, :n_per_board] = delay.astype(np.float32)
     if cfg.array_slots > 1:
-        # replicate the per-board model across slots
-        for a in range(1, cfg.array_slots):
-            out[:, :, a * n_per_board:(a + 1) * n_per_board] = out[:, :, :n_per_board]
+        # reference quirk: slots 1+ were never written, so the global
+        # `-= smallest` leaves them at the constant -smallest (scaled)
+        const = (-smallest * (cfg.sample_rate / cfg.propagation_speed)
+                 ).astype(np.float32)                  # (X, Y, 1)
+        out[:, :, n_per_board:] = const
     return out
 
 
 def calculate_delay_miso(cfg: Config, azimuth: float, elevation: float) -> np.ndarray:
     """Whole-sample delays for a single (azimuth, elevation) listen direction,
-    int array over all board-slot mics.  Mirrors ``directions.pyx:159-187``.
+    int array over all board-slot mics.  Mirrors ``directions.pyx:159-187``
+    EXACTLY, including its multi-board quirk: only board 0 gets steering
+    delays; the global ``-= smallest`` leaves slots 1+ at the constant
+    ``-smallest`` (scaled, truncated to int).  (Round-3 parity fix —
+    this used to replicate board 0 across slots.)
     """
     d = cfg.element_distance
     half = d / 2.0
@@ -208,8 +248,9 @@ def calculate_delay_miso(cfg: Config, azimuth: float, elevation: float) -> np.nd
 
     n_per_board = cfg.rows * cfg.columns
     out = np.zeros(n_per_board * cfg.array_slots, dtype=np.float64)
-    for a in range(cfg.array_slots):
-        out[a * n_per_board:(a + 1) * n_per_board] = delay
+    out[:n_per_board] = delay
+    # reference quirk: slots 1+ stay at 0 - smallest (scaled)
+    out[n_per_board:] = -smallest * (cfg.sample_rate / cfg.propagation_speed)
     return out.astype(int)
 
 

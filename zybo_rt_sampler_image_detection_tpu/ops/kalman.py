@@ -61,6 +61,7 @@ class KalmanFilter3D:
 def batched_kf3d_update(x, P, z):
     """Vectorized update for (..., 6) states / (..., 6, 6) covariances /
     (..., 3) measurements — drop-in for running a filter bank under jit."""
+    import jax
     import jax.numpy as jnp
 
     A = jnp.eye(6).at[0, 3].set(1.0).at[1, 4].set(1.0).at[2, 5].set(1.0)
@@ -68,11 +69,18 @@ def batched_kf3d_update(x, P, z):
     H = jnp.zeros((3, 6)).at[0, 0].set(1.0).at[1, 1].set(1.0).at[2, 2].set(1.0)
     R = jnp.eye(3) * 0.1
 
-    x = jnp.einsum("ij,...j->...i", A, x)
-    P = jnp.einsum("ij,...jk,lk->...il", A, P, A) + Q
-    S = jnp.einsum("ij,...jk,lk->...il", H, P, H) + R
-    K = jnp.einsum("...ij,kj,...kl->...il", P, H, jnp.linalg.inv(S))
-    y = z - jnp.einsum("ij,...j->...i", H, x)
-    x = x + jnp.einsum("...ij,...j->...i", K, y)
-    P = jnp.einsum("...ij,...jk->...ik", jnp.eye(6) - jnp.einsum("...ij,jk->...ik", K, H), P)
+    # explicit HIGHEST precision: the default truncates einsum operands
+    # to bf16 (even on CPU), and covariance drift compounds every frame
+    hp = jax.lax.Precision.HIGHEST
+    x = jnp.einsum("ij,...j->...i", A, x, precision=hp)
+    P = jnp.einsum("ij,...jk,lk->...il", A, P, A, precision=hp) + Q
+    S = jnp.einsum("ij,...jk,lk->...il", H, P, H, precision=hp) + R
+    K = jnp.einsum("...ij,kj,...kl->...il", P, H, jnp.linalg.inv(S),
+                   precision=hp)
+    y = z - jnp.einsum("ij,...j->...i", H, x, precision=hp)
+    x = x + jnp.einsum("...ij,...j->...i", K, y, precision=hp)
+    P = jnp.einsum(
+        "...ij,...jk->...ik",
+        jnp.eye(6) - jnp.einsum("...ij,jk->...ik", K, H, precision=hp),
+        P, precision=hp)
     return x, P

@@ -91,6 +91,9 @@ def gaussian_blur(img: np.ndarray, ksize: int = 5,
     x = np.arange(-r, r + 1)
     k = np.exp(-(x * x) / (2 * sigma * sigma))
     k /= k.sum()
+    if img.ndim == 3:                     # color: blur each channel
+        return np.stack([gaussian_blur(img[..., c], ksize, sigma)
+                         for c in range(img.shape[-1])], axis=-1)
     pad = np.pad(img.astype(np.float64), ((r, r), (r, r)), mode="reflect")
     tmp = np.apply_along_axis(lambda m: np.convolve(m, k, "valid"), 0, pad)
     out = np.apply_along_axis(lambda m: np.convolve(m, k, "valid"), 1, tmp)
@@ -105,8 +108,13 @@ def rectangle(img: np.ndarray, pt1, pt2, color, thickness: int = 1) -> None:
         return
     x1, y1 = map(int, pt1)
     x2, y2 = map(int, pt2)
-    x1, x2 = sorted((max(x1, 0), min(x2, img.shape[1] - 1)))
-    y1, y2 = sorted((max(y1, 0), min(y2, img.shape[0] - 1)))
+    # clamp each corner independently (cv2 semantics): a box entirely
+    # off one side degenerates to an edge sliver instead of a negative
+    # slice start that would wrap drawing to the opposite edge
+    x1, x2 = sorted((min(max(x1, 0), img.shape[1] - 1),
+                     min(max(x2, 0), img.shape[1] - 1)))
+    y1, y2 = sorted((min(max(y1, 0), img.shape[0] - 1),
+                     min(max(y2, 0), img.shape[0] - 1)))
     t = max(1, thickness)
     img[y1:y1 + t, x1:x2 + 1] = color
     img[max(y2 - t + 1, 0):y2 + 1, x1:x2 + 1] = color
