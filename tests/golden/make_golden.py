@@ -33,6 +33,13 @@ def main():
             return None
         return path
 
+    # WARNING (learned round 3): --force regenerates BOTH fixtures, and
+    # this script does NOT bit-reproduce the round-1 tiny fixture (its
+    # frame recipe drifted) — after a forced regeneration, diff every
+    # entry against `git show HEAD:tests/golden/<name>` and restore any
+    # fixture whose change you cannot attribute to the code change that
+    # motivated the regeneration.
+
     def build(cfg, frame, fft_band):
         res = {"frame": frame}
         for algo in ("pad", "lerp", "convolve", "hybrid", "truncated"):
