@@ -252,6 +252,11 @@ def _build_corrections(entries, D: int, M: int):
     return Wc, corr_js
 
 
+# bump when any table builder's output changes for the same config (the
+# on-disk cache would otherwise serve tables built by the old code)
+_TABLE_GEOMETRY_VERSION = 2
+
+
 def make_tables(cfg: Config, algorithm: str,
                 cache: bool = True) -> SteeringTables:
     """Build (or load from the on-disk table cache) the steering tables.
@@ -274,7 +279,12 @@ def make_tables(cfg: Config, algorithm: str,
     import hashlib
     import os
 
-    key_fields = (algorithm, cfg.n_microphones, cfg.n_samples, cfg.n_taps,
+    # _TABLE_GEOMETRY_VERSION must be bumped whenever a geometry/table
+    # builder's OUTPUT changes for the same config — otherwise the cache
+    # silently serves tables built by the old code (v2: round-3
+    # multi-slot quirk parity fix changed the truncated tables)
+    key_fields = (algorithm, _TABLE_GEOMETRY_VERSION,
+                  cfg.n_microphones, cfg.n_samples, cfg.n_taps,
                   cfg.columns, cfg.rows, cfg.max_res_x, cfg.max_res_y,
                   cfg.z_scan, cfg.max_angle, cfg.view_angle, cfg.sample_rate,
                   cfg.element_distance, cfg.array_slots, cfg.skip_n_mics,
