@@ -365,12 +365,21 @@ def cmd_fullrate(args):
 def cmd_sensorfusion(args):
     """Fused live demo (``main.pyx:669-736`` mimo + ``record_sensorfusion``):
     camera -> YOLO tracker, receiver -> heatmap, fused by the decider; the
-    composited frames go to an mp4 (and a window unless --headless)."""
+    composited frames go to an mp4 (and a window unless --headless).
+
+    ``--composite device`` (the default) runs the whole display chain —
+    log-norm, jet-LUT colorize, resizes, power box, EMA, the decider's
+    gating and blends — as ONE batched device program
+    (``fusion.composite.DeviceCompositor``); the host only uploads
+    camera frames + track boxes and downloads finished composites.
+    ``--composite host`` keeps the reference-shaped host chain
+    (``utils.viz.Viewer`` + ``SensorFusionDecider``) for comparison."""
     from ..models.detect import YoloDetector
     from ..models.yolo import YoloConfig
     from ..utils.viz import ArrayDisplay, Viewer
     from .web import SyntheticCamera
 
+    device_comp = args.composite == "device"
     p = _make_pipeline(args)
     p.connect()
     if args.heatmap_batch > 1:
@@ -384,7 +393,8 @@ def cmd_sensorfusion(args):
                 put_drop_oldest(_p.q_power, (pw, first_seq + j))
 
         p.start_heatmap_batched(batch=args.heatmap_batch,
-                                sink=all_maps_sink)
+                                sink=all_maps_sink,
+                                max_rate=args.heatmap_rate)
     else:
         p.start_heatmap()
     if args.camera == -2:
@@ -404,9 +414,11 @@ def cmd_sensorfusion(args):
         det = pretrained_demo_detector(steps=args.pretrain or 700)
     else:
         det = YoloDetector(model_path=args.weights,
-                           cfg=YoloConfig(input_size=224, width_mult=0.5))
+                           cfg=YoloConfig(input_size=args.detector_size,
+                                          width_mult=args.detector_width))
     tkw = (dict(max_age=args.track_coast, report_coasted=True)
            if getattr(args, "track_coast", 0) else {})
+    tkw["emit_boxes"] = device_comp
     if args.tracker_batch > 1:
         # one YOLO device launch per K camera frames (the single-frame
         # loop is dispatch-bound at ~15 fps through the tunnel)
@@ -416,8 +428,25 @@ def cmd_sensorfusion(args):
 
     frames_wanted = args.frames or 30
     disp = ArrayDisplay(keep=frames_wanted)
-    viewer = Viewer(cb=lambda h, v: p.steer_cartesian_degree(h, v),
-                    window=(args.width, args.height), display=disp)
+    if device_comp:
+        from ..fusion.composite import DeviceCompositor, DeviceViewer
+        cam_hw = getattr(cam, "size", None)
+        if cam_hw is None:            # real capture: probe one frame
+            ok, probe = cam.read()
+            cam_hw = probe.shape[:2] if ok else (240, 320)
+        grid = (p.cfg.max_res_x, p.cfg.max_res_y)
+        compositor = DeviceCompositor(
+            grid, cam_hw, window=(args.width, args.height),
+            yolo_shape=cam_hw, max_tracks=8)
+        viewer = DeviceViewer(compositor, disp,
+                              batch=args.composite_batch)
+        print("compiling device compositor ...")
+        t0 = time.time()
+        viewer.warmup()
+        print(f"  ready in {time.time()-t0:.1f}s")
+    else:
+        viewer = Viewer(cb=lambda h, v: p.steer_cartesian_degree(h, v),
+                        window=(args.width, args.height), display=disp)
 
     class Running:
         # wall-clock deadline, not a constant: if a producer thread dies
@@ -438,6 +467,8 @@ def cmd_sensorfusion(args):
     print(f"fused rate: {len(disp.frames) and frames_wanted / fused_elapsed:.1f} "
           f"fps over {frames_wanted} composited frames "
           f"({fused_elapsed:.1f}s)")
+    if device_comp:
+        print("composite:", viewer.report())
     if args.out:
         import cv2
         h, w = disp.frames[0].shape[:2]
@@ -546,10 +577,26 @@ def main(argv=None):
     p.add_argument("--heatmap-batch", type=int, default=16,
                    help="frames per heatmap device launch, all maps "
                         "published (1 = single-frame reference loop)")
+    p.add_argument("--composite", default="device",
+                   choices=["device", "host"],
+                   help="display-chain backend: 'device' = one batched "
+                        "jitted program (colorize/resize/blend/decider "
+                        "on TPU); 'host' = the reference-shaped cv2 "
+                        "chain (Viewer + SensorFusionDecider)")
+    p.add_argument("--composite-batch", type=int, default=16,
+                   help="frames per device composite launch")
+    p.add_argument("--heatmap-rate", type=float, default=100.0,
+                   help="cap the batched heatmap stage at N maps/s (0 = "
+                        "line rate); display needs ~2x viewer fps and an "
+                        "uncapped stage starves the shared device link")
     p.add_argument("--camera-fps", type=float, default=60.0,
                    help="camera frame-rate cap (lower frees host CPU on "
                         "contended single-core machines)")
     p.add_argument("--weights", default=None, help="detector weights (.pkl)")
+    p.add_argument("--detector-size", type=int, default=224,
+                   help="detector input size (px)")
+    p.add_argument("--detector-width", type=float, default=0.5,
+                   help="detector width multiplier")
     p.add_argument("--out", default="sensorfusion.mp4")
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--height", type=int, default=360)

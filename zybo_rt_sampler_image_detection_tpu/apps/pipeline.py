@@ -423,7 +423,7 @@ class BatchedStage(Stage):
 
     def __init__(self, name: str, receiver: Receiver,
                  metrics: PipelineMetrics, batch: int, channels: int = 0,
-                 transfer: str = "f32"):
+                 transfer: str = "f32", max_rate: float = 0.0):
         super().__init__(name, metrics)
         if batch > receiver.ring_frames:
             # fail fast: read_batch would raise inside the stage thread,
@@ -442,6 +442,14 @@ class BatchedStage(Stage):
         # on arrival.  Default stays exact f32.
         self.transfer_dtype = {"f32": np.float32,
                                "f16": np.float16}[transfer]
+        # max_rate (frames/s, 0 = line rate): throttle the stage so it
+        # deliberately lets the ring overwrite frames it skips (counted
+        # in `skipped`).  Display consumers need ~2x the viewer fps, not
+        # line rate, and an uncapped stage eats the whole host<->device
+        # link (which the fused demo shares with camera uploads and
+        # composite downloads through a ~35 MB/s tunnel).
+        self.max_rate = float(max_rate)
+        self._rate_t0 = None
 
     def _to_device(self, batch: np.ndarray):
         if self.transfer_dtype is not np.float32:
@@ -477,6 +485,14 @@ class BatchedStage(Stage):
         next_seq = 1
         pending = None
         while not self.stop_event.is_set():
+            if self.max_rate and self._rate_t0 is not None:
+                ahead = (self.processed / self.max_rate
+                         - (time.perf_counter() - self._rate_t0))
+                if ahead > 0.0:
+                    if pending is not None:
+                        self._finish(pending)   # sync while throttled
+                        pending = None
+                    time.sleep(min(ahead, 0.5))
             try:
                 batch, first, skipped = self.receiver.read_batch(
                     self.batch, next_seq, timeout=0.5,
@@ -487,6 +503,8 @@ class BatchedStage(Stage):
                     pending = None
                 continue
             next_seq = first + self.batch
+            if self._rate_t0 is None:
+                self._rate_t0 = time.perf_counter()
             t0 = time.perf_counter()
             dev = self._to_device(batch)       # async H2D, double-buffered
             out = self.launch(dev)             # async dispatch
@@ -523,9 +541,9 @@ class BatchedHeatmapProducer(BatchedStage):
     def __init__(self, receiver: Receiver, tables, q_power: queue.Queue,
                  metrics: PipelineMetrics, batch: int = 16,
                  power_fn=None, sink=None, channels: int = 0,
-                 transfer: str = "f32"):
+                 transfer: str = "f32", max_rate: float = 0.0):
         super().__init__("heatmap_batched", receiver, metrics, batch,
-                         channels, transfer)
+                         channels, transfer, max_rate=max_rate)
         self.tables = tables
         self.q_power = q_power
         self.sink = sink or self._default_sink
@@ -732,16 +750,14 @@ class CameraProducer(Stage):
             time.sleep(self.interval)
 
 
-def _draw_tracks(imaging, blank, tracks, dets, prev_rect_conf):
-    """Draw ID boxes on the blank overlay and return the newest
-    [[x1,y1],[x2,y2],conf] (the ``rect_conf`` contract of
+def _rect_conf(tracks, dets, prev_rect_conf):
+    """The newest [[x1,y1],[x2,y2],conf] (the ``rect_conf`` contract of
     ``process_video_track_boxes_only``, ``yolo_smooth_tracking.py:
-    275-348``)."""
+    275-348``) without drawing."""
     from ..models.tracking import compute_iou
     rect_conf = prev_rect_conf
     for tr in tracks:
         x1, y1, x2, y2, tid = tr.astype(int)
-        imaging.rectangle(blank, (x1, y1), (x2, y2), (0, 255, 0), 2)
         conf = 0.0
         for det in dets:
             if compute_iou([x1, y1, x2, y2], det[:4]) > 0.5:
@@ -751,13 +767,38 @@ def _draw_tracks(imaging, blank, tracks, dets, prev_rect_conf):
     return rect_conf
 
 
+def _draw_tracks(imaging, blank, tracks, dets, prev_rect_conf):
+    """Draw ID boxes on the blank overlay and return the newest
+    rect_conf (see :func:`_rect_conf`)."""
+    for tr in tracks:
+        x1, y1, x2, y2, tid = tr.astype(int)
+        imaging.rectangle(blank, (x1, y1), (x2, y2), (0, 255, 0), 2)
+    return _rect_conf(tracks, dets, prev_rect_conf)
+
+
+def _tracks_payload(tracks) -> np.ndarray:
+    """The int-cast (T, 5) boxes the host would draw, as the
+    emit_boxes q_inference payload (the on-device rasterizer
+    reproduces cv2's thickness-2 rectangles from these exact
+    coordinates — ``fusion.composite.DeviceCompositor._raster_tracks``)."""
+    if len(tracks) == 0:
+        return np.zeros((0, 5), np.float32)
+    return np.asarray(tracks).astype(int).astype(np.float32)
+
+
 class TrackerStage(Stage):
+    """``emit_boxes=True`` publishes the raw track boxes instead of a
+    drawn canvas — the device-composite viewer rasterizes them on
+    device, cutting the per-frame transfer from a full canvas to 20
+    floats AND skipping the host-side drawing entirely."""
+
     def __init__(self, detector, q_yolo: queue.Queue,
                  q_inference: queue.Queue, metrics: PipelineMetrics,
-                 **tracker_kwargs):
+                 emit_boxes: bool = False, **tracker_kwargs):
         super().__init__("tracker", metrics)
         self.q_yolo = q_yolo
         self.q_inference = q_inference
+        self.emit_boxes = emit_boxes
         from ..models.tracking import SmoothedTracker
         from ..utils import imaging
         self._imaging = imaging
@@ -773,12 +814,17 @@ class TrackerStage(Stage):
             t0 = time.perf_counter()
             if frame.ndim == 2:
                 frame = np.repeat(frame[..., None], 3, -1)
-            blank = np.zeros_like(frame)
             tracks, dets = self.tracker.step(frame)
-            rect_conf = _draw_tracks(self._imaging, blank, tracks, dets,
-                                     rect_conf)
+            if self.emit_boxes:
+                rect_conf = _rect_conf(tracks, dets, rect_conf)
+                payload = _tracks_payload(tracks)
+            else:
+                payload = np.zeros_like(frame)
+                rect_conf = _draw_tracks(self._imaging, payload, tracks,
+                                         dets, rect_conf)
             self.metric.tick(time.perf_counter() - t0)
-            put_drop_oldest(self.q_inference, (frame_no, blank, rect_conf))
+            put_drop_oldest(self.q_inference,
+                            (frame_no, payload, rect_conf))
 
 
 class BatchedTrackerStage(Stage):
@@ -798,13 +844,15 @@ class BatchedTrackerStage(Stage):
 
     def __init__(self, detector, q_yolo: queue.Queue,
                  q_inference: queue.Queue, metrics: PipelineMetrics,
-                 batch: int = 4, **tracker_kwargs):
+                 batch: int = 4, emit_boxes: bool = False,
+                 **tracker_kwargs):
         super().__init__("tracker_batched", metrics)
         self.q_yolo = q_yolo
         self.q_inference = q_inference
         self.batch = batch
         self.detector = detector
         self.processed = 0
+        self.emit_boxes = emit_boxes
         from ..models.tracking import SmoothedTracker
         from ..utils import imaging
         self._imaging = imaging
@@ -839,13 +887,17 @@ class BatchedTrackerStage(Stage):
                 pad_to=self.batch)
             self.metric.tick(time.perf_counter() - t0)
             for (no, _), frame, dets in zip(items, frames, dets_per_frame):
-                blank = np.zeros_like(frame)
                 tracks, kept = self.tracker.step_with_detections(frame,
                                                                  dets)
-                rect_conf = _draw_tracks(self._imaging, blank, tracks,
-                                         kept, rect_conf)
+                if self.emit_boxes:
+                    rect_conf = _rect_conf(tracks, kept, rect_conf)
+                    payload = _tracks_payload(tracks)
+                else:
+                    payload = np.zeros_like(frame)
+                    rect_conf = _draw_tracks(self._imaging, payload,
+                                             tracks, kept, rect_conf)
                 self.processed += 1
-                put_drop_oldest(self.q_inference, (no, blank, rect_conf))
+                put_drop_oldest(self.q_inference, (no, payload, rect_conf))
 
 
 class Pipeline:
@@ -929,15 +981,18 @@ class Pipeline:
         return s
 
     def make_heatmap_batched(self, batch: int = 16, sink=None,
-                             channels: int = 0, transfer: str = "f32"):
+                             channels: int = 0, transfer: str = "f32",
+                             max_rate: float = 0.0):
         """Build (but don't start) the full-line-rate stage — lets callers
         :meth:`BatchedHeatmapProducer.warmup` (compile) before any packets
-        flow, then :meth:`run_stage` it after :meth:`connect`."""
+        flow, then :meth:`run_stage` it after :meth:`connect`.
+        ``max_rate`` (frames/s) throttles for display consumers sharing
+        the device link (see :class:`BatchedStage`)."""
         return BatchedHeatmapProducer(self.receiver, self.tables,
                                       self.q_power, self.metrics,
                                       batch=batch, power_fn=self._power_fn,
                                       sink=sink, channels=channels,
-                                      transfer=transfer)
+                                      transfer=transfer, max_rate=max_rate)
 
     def run_stage(self, s):
         self.stages.append(s)
@@ -945,10 +1000,11 @@ class Pipeline:
         return s
 
     def start_heatmap_batched(self, batch: int = 16, sink=None,
-                              warmup: bool = True):
+                              warmup: bool = True, max_rate: float = 0.0):
         """Full-line-rate variant of :meth:`start_heatmap` — every frame
         beamformed in K-frame device batches (SURVEY §7 hard part b)."""
-        s = self.make_heatmap_batched(batch=batch, sink=sink)
+        s = self.make_heatmap_batched(batch=batch, sink=sink,
+                                      max_rate=max_rate)
         if warmup:
             s.warmup()
             if getattr(self._power_fn, "reset", None):
