@@ -281,7 +281,7 @@ def test_batched_miso_underrun_zero_fill():
     stage = BatchedMisoProducer(
         _FakeReceiver(), sink, PipelineMetrics(), batch=2,
         beam_fn=lambda f, d: f, post_fn=lambda b: b, n_samples=N)
-    stage._finish((beams, 1, 3, time.perf_counter()))
+    stage._finish((beams, 1, 3, time.perf_counter(), None))
     assert stage.underrun_frames == 3
     assert stage.processed == 2
     assert stage.samples == 5 * N

@@ -200,6 +200,15 @@ def cmd_miso(args):
               f"({stage.samples / elapsed:.0f}/s vs line {line:.0f}/s); "
               f"underrun frames = {stage.underrun_frames}")
         print("GAPLESS" if stage.underrun_frames == 0 else "UNDERRUNS")
+        lat = stage.audio_latency()
+        if lat:
+            print(f"audio e2e latency (ring->sink) p50 = "
+                  f"{lat['audio_e2e_p50_ms']} ms  p95 = "
+                  f"{lat['audio_e2e_p95_ms']} ms at K={args.batch}")
+        if hasattr(stage.sink, "underflow_samples"):
+            print(f"mock playback underflow: "
+                  f"{stage.sink.underflow_samples} samples "
+                  f"({stage.sink.underflow_ms:.1f} ms)")
     if sink == "wav":
         print(f"beam audio written to {args.out}")
 
@@ -501,9 +510,10 @@ def main(argv=None):
     p.add_argument("--elevation", type=float, default=0.0)
     p.add_argument("--seconds", type=float, default=3.0)
     p.add_argument("--audio", default=None,
-                   choices=["wav", "null", "sounddevice", "auto"],
+                   choices=["wav", "null", "sounddevice", "auto", "mock"],
                    help="audio sink (default: auto = live playback when "
-                        "interactive, wav when --headless)")
+                        "interactive, wav when --headless; mock = "
+                        "deadline-accounting PortAudio stand-in)")
     p.add_argument("--out", default="miso.wav")
     p.add_argument("--fullrate", action="store_true",
                    help="gapless batched listening: every frame beamed, "
@@ -540,9 +550,11 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--arrays", type=int, default=None,
                    help="default: the config's active_arrays")
-    p.add_argument("--audio", default=None, choices=["null", "wav"],
+    p.add_argument("--audio", default=None,
+                   choices=["null", "wav", "mock"],
                    help="also run the gapless listening stage into this "
-                        "sink (pass now requires 0 audio underruns)")
+                        "sink (pass now requires 0 audio underruns; mock "
+                        "= deadline-accounting PortAudio stand-in)")
     p.add_argument("--audio-only", action="store_true",
                    help="with --audio: listening only, no heatmaps (the "
                         "pure gapless-WAV proof)")

@@ -450,6 +450,9 @@ class BatchedStage(Stage):
         # composite downloads through a ~35 MB/s tunnel).
         self.max_rate = float(max_rate)
         self._rate_t0 = None
+        # subclasses that need per-frame ring publish times (the audio
+        # e2e latency contract) set this before start()
+        self.want_stamps = False
 
     def _to_device(self, batch: np.ndarray):
         if self.transfer_dtype is not np.float32:
@@ -459,7 +462,8 @@ class BatchedStage(Stage):
     def launch(self, frames_dev):
         raise NotImplementedError
 
-    def consume(self, out, first_seq: int, skipped: int) -> None:
+    def consume(self, out, first_seq: int, skipped: int,
+                stamps=None) -> None:
         raise NotImplementedError
 
     def warmup(self):
@@ -472,14 +476,14 @@ class BatchedStage(Stage):
         jax.tree.map(np.asarray, self.launch(self._to_device(zeros)))
 
     def _finish(self, pending):
-        out, first, skipped, t0 = pending
+        out, first, skipped, t0, stamps = pending
         host = jax.tree.map(np.asarray, out)           # sync batch i-1
         self.metric.tick(time.perf_counter() - t0)
         if skipped:
             self.skipped += skipped
             self.metric.drop(skipped)
         self.processed += self.batch
-        self.consume(host, first, skipped)
+        self.consume(host, first, skipped, stamps)
 
     def run(self):
         next_seq = 1
@@ -494,14 +498,16 @@ class BatchedStage(Stage):
                         pending = None
                     time.sleep(min(ahead, 0.5))
             try:
-                batch, first, skipped = self.receiver.read_batch(
+                res = self.receiver.read_batch(
                     self.batch, next_seq, timeout=0.5,
-                    channels=self.channels)
+                    channels=self.channels, with_stamps=self.want_stamps)
             except TimeoutError:
                 if pending is not None:
                     self._finish(pending)
                     pending = None
                 continue
+            batch, first, skipped = res[:3]
+            stamps = res[3] if self.want_stamps else None
             next_seq = first + self.batch
             if self._rate_t0 is None:
                 self._rate_t0 = time.perf_counter()
@@ -510,7 +516,7 @@ class BatchedStage(Stage):
             out = self.launch(dev)             # async dispatch
             if pending is not None:
                 self._finish(pending)          # sync batch i-1, in order
-            pending = (out, first, skipped, t0)
+            pending = (out, first, skipped, t0, stamps)
         if pending is not None:
             self._finish(pending)
 
@@ -578,7 +584,7 @@ class BatchedHeatmapProducer(BatchedStage):
     def launch(self, frames_dev):
         return self.power_fn(frames_dev)
 
-    def consume(self, powers, first_seq: int, skipped: int):
+    def consume(self, powers, first_seq: int, skipped: int, stamps=None):
         self.sink(powers, first_seq)
 
 
@@ -658,6 +664,14 @@ class BatchedMisoProducer(BatchedStage):
         self.samples = 0
         self._direction = 0
         self._lock = threading.Lock()
+        # audio e2e latency contract: per-batch age (at sink.write) of
+        # the batch's OLDEST and NEWEST frames, measured from their ring
+        # publish stamps.  The oldest-frame age is the stream's playback
+        # lag — what a listener actually experiences; the reference's
+        # PortAudio callback ran at ms scale (api.c:268-282).
+        self.want_stamps = True
+        self.lat_oldest_ms: list = []
+        self.lat_newest_ms: list = []
 
     def steer(self, direction: int):
         with self._lock:
@@ -668,7 +682,7 @@ class BatchedMisoProducer(BatchedStage):
             d = self._direction
         return self.beam_fn(frames_dev, d)
 
-    def _write_audio(self, beams: np.ndarray, skipped: int):
+    def _write_audio(self, beams: np.ndarray, skipped: int, stamps=None):
         if skipped:
             # keep the stream time-aligned: silence for the lost frames
             self.underrun_frames += skipped
@@ -678,9 +692,29 @@ class BatchedMisoProducer(BatchedStage):
         audio = self.post_fn(beams).reshape(-1).astype(np.float32)
         self.sink.write(audio)
         self.samples += audio.size
+        if stamps is not None:
+            s = stamps[stamps > 0]
+            if s.size:
+                now = time.perf_counter()
+                self.lat_oldest_ms.append((now - float(s.min())) * 1e3)
+                self.lat_newest_ms.append((now - float(s.max())) * 1e3)
 
-    def consume(self, beams, first_seq: int, skipped: int):
-        self._write_audio(beams, skipped)
+    def audio_latency(self) -> dict:
+        """p50/p95 of the per-batch oldest-frame age at sink write — the
+        measured end-to-end playback lag (packet ring -> audio sink)."""
+        if not self.lat_oldest_ms:
+            return {}
+        old = np.asarray(self.lat_oldest_ms)
+        new = np.asarray(self.lat_newest_ms)
+        return {
+            "audio_e2e_p50_ms": round(float(np.percentile(old, 50)), 2),
+            "audio_e2e_p95_ms": round(float(np.percentile(old, 95)), 2),
+            "audio_e2e_newest_p50_ms":
+                round(float(np.percentile(new, 50)), 2),
+        }
+
+    def consume(self, beams, first_seq: int, skipped: int, stamps=None):
+        self._write_audio(beams, skipped, stamps)
 
 
 class BatchedMimoMisoProducer(BatchedMisoProducer):
@@ -722,10 +756,10 @@ class BatchedMimoMisoProducer(BatchedMisoProducer):
             d = self._direction
         return self.process_fn(frames_dev, d)
 
-    def consume(self, out, first_seq: int, skipped: int):
+    def consume(self, out, first_seq: int, skipped: int, stamps=None):
         powers, beams = out
         self.power_sink(powers, first_seq)
-        self._write_audio(beams, skipped)
+        self._write_audio(beams, skipped, stamps)
 
 
 class CameraProducer(Stage):
@@ -1234,9 +1268,13 @@ class Pipeline:
             counts = {k: getattr(s, k) for k in
                       ("processed", "skipped", "underrun_frames")
                       if hasattr(s, k)}
+            if hasattr(s, "audio_latency"):
+                counts.update(s.audio_latency())
             sink = getattr(s, "sink", None)
             if sink is not None and hasattr(sink, "_dropped"):
                 counts["sink_dropped_writes"] = sink._dropped
+            if sink is not None and hasattr(sink, "underflow_samples"):
+                counts["sink_underflow_samples"] = sink.underflow_samples
             if counts:
                 rep.setdefault(s.name, {}).update(counts)
         return rep

@@ -47,6 +47,7 @@ struct Engine {
     int ring_cap = 64;              // frames held for batched readers
     std::vector<int> perm;          // logical mic -> stream index
     std::vector<float> ring;        // ring_cap * n_mics * n_samples
+    std::vector<double> stamps;     // CLOCK_MONOTONIC publish time per slot
     std::atomic<long long> seq{0};  // completed-frame sequence
     std::mutex mu;
     std::condition_variable cv;
@@ -143,6 +144,13 @@ void recv_loop() {
                     g.ring.data() + (size_t)((sq + 1) % g.ring_cap)
                         * frame.size(),
                     frame.data(), frame.size() * sizeof(float));
+                // publish stamp: CLOCK_MONOTONIC == Python's
+                // time.perf_counter on Linux, so audio consumers can
+                // measure packet->sink latency across the boundary
+                timespec ts{};
+                clock_gettime(CLOCK_MONOTONIC, &ts);
+                g.stamps[(size_t)((sq + 1) % g.ring_cap)] =
+                    (double)ts.tv_sec + 1e-9 * (double)ts.tv_nsec;
                 g.seq.store(sq + 1, std::memory_order_release);
             }
             g.cv.notify_all();
@@ -303,6 +311,7 @@ int zrt_ingest_connect(const char* ip, int port, int n_mics, int n_samples,
 
     build_perm();
     g.ring.assign((size_t)g.ring_cap * n_mics * n_samples, 0.0f);
+    g.stamps.assign((size_t)g.ring_cap, 0.0);
 
     timeval tv2{0, 200000};  // 200 ms poll so stop() is responsive
     setsockopt(g.sock, SOL_SOCKET, SO_RCVTIMEO, &tv2, sizeof(tv2));
@@ -338,9 +347,11 @@ long long zrt_ingest_read(float* out, int fresh, long long last_seq,
 // Returns the sequence of out[0], or -1 on timeout.  This is the
 // full-line-rate path: every frame the receiver writes (receiver.c:94-151
 // writes all of them) is delivered exactly once to a batched consumer.
+// stamps_out (nullable, k doubles) receives each frame's CLOCK_MONOTONIC
+// publish time — the audio-latency contract's packet-side anchor.
 long long zrt_ingest_read_batch(float* out, int k, long long next_seq,
                                 int timeout_ms, long long* skipped,
-                                int out_channels) {
+                                int out_channels, double* stamps_out) {
     const size_t fsz = (size_t)g.n_mics * g.n_samples;
     const int n_ch = (out_channels > 0 && out_channels <= g.n_mics)
                          ? out_channels : g.n_mics;
@@ -362,6 +373,7 @@ long long zrt_ingest_read_batch(float* out, int k, long long next_seq,
         std::memcpy(out + (size_t)i * osz,
                     g.ring.data() + (size_t)(s % g.ring_cap) * fsz,
                     osz * sizeof(float));
+        if (stamps_out) stamps_out[i] = g.stamps[(size_t)(s % g.ring_cap)];
     }
     return first;
 }

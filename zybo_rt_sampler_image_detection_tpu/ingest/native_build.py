@@ -65,7 +65,8 @@ class NativeIngest:
         lib.zrt_ingest_read_batch.restype = ctypes.c_longlong
         lib.zrt_ingest_read_batch.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_longlong,
-            ctypes.c_int, ctypes.POINTER(ctypes.c_longlong), ctypes.c_int]
+            ctypes.c_int, ctypes.POINTER(ctypes.c_longlong), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double)]
         lib.zrt_ingest_stats.argtypes = [ctypes.POINTER(ctypes.c_longlong)] * 4
         lib.zrt_emulate_start.restype = ctypes.c_int
         lib.zrt_emulate_start.argtypes = [
@@ -111,25 +112,33 @@ class NativeIngest:
         return out, int(seq)
 
     def read_batch(self, k: int, next_seq: int, timeout: Optional[float],
-                   channels: int = 0):
+                   channels: int = 0, with_stamps: bool = False):
         """k counter-contiguous frames, oldest first ->
-        ((k, channels or n_mics, n_samples) float32, first_seq, skipped).
-        ``channels`` > 0 copies only the leading connected rows."""
+        ((k, channels or n_mics, n_samples) float32, first_seq, skipped
+        [, stamps (k,) float64]).  ``channels`` > 0 copies only the
+        leading connected rows; ``with_stamps`` appends each frame's
+        CLOCK_MONOTONIC publish time (== time.perf_counter)."""
         cfg = self._cfg
         n_ch = channels if 0 < channels <= cfg.n_microphones \
             else cfg.n_microphones
         out = np.empty((k, n_ch, cfg.n_samples), np.float32)
         skipped = ctypes.c_longlong(0)
+        stamps = np.zeros(k, np.float64) if with_stamps else None
+        sp = (stamps.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+              if with_stamps else
+              ctypes.cast(None, ctypes.POINTER(ctypes.c_double)))
         # match the python backend: None blocks (effectively) forever,
         # 0 is a non-blocking poll
         ms = int((86400.0 if timeout is None else timeout) * 1000)
         first = self._lib.zrt_ingest_read_batch(
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            int(k), int(next_seq), ms, ctypes.byref(skipped), n_ch)
+            int(k), int(next_seq), ms, ctypes.byref(skipped), n_ch, sp)
         if first == -2:
             raise ValueError("batch size exceeds the ring capacity")
         if first < 0:
             raise TimeoutError("no frame batch within timeout")
+        if with_stamps:
+            return out, int(first), int(skipped.value), stamps
         return out, int(first), int(skipped.value)
 
     # -- native packet emulator (streamer.c parity at true line rate) -------

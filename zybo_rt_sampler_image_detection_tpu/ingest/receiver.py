@@ -55,6 +55,7 @@ class FrameRing:
 
     def __init__(self, n_mics: int, n_samples: int, capacity: int = 64):
         self._buf = np.zeros((capacity, n_mics, n_samples), dtype=np.float32)
+        self._stamps = np.zeros(capacity, dtype=np.float64)
         self._cap = capacity
         self._seq = 0
         self._cond = threading.Condition()
@@ -65,7 +66,12 @@ class FrameRing:
 
     def publish(self, frame: np.ndarray) -> None:
         with self._cond:
-            self._buf[(self._seq + 1) % self._cap] = frame
+            slot = (self._seq + 1) % self._cap
+            self._buf[slot] = frame
+            # publish stamp (time.perf_counter == CLOCK_MONOTONIC, same
+            # clock the native engine records): the packet-side anchor
+            # of the audio-latency contract
+            self._stamps[slot] = time.perf_counter()
             self._seq += 1
             self._cond.notify_all()
 
@@ -87,15 +93,17 @@ class FrameRing:
             return src.copy(), self._seq
 
     def read_batch(self, k: int, next_seq: int,
-                   timeout: Optional[float] = None, channels: int = 0):
+                   timeout: Optional[float] = None, channels: int = 0,
+                   with_stamps: bool = False):
         """k counter-contiguous frames starting at max(next_seq, oldest
         still in the ring), oldest first.
 
         Returns ``(batch (k, M, N) float32, first_seq, skipped)`` where
         ``skipped`` counts frames overwritten before the reader got to them
         (0 when the reader keeps up).  ``channels`` > 0 returns only the
-        leading connected rows.  Returns ``(None, next_seq, 0)`` on
-        timeout.
+        leading connected rows.  ``with_stamps`` appends the per-frame
+        publish times (``time.perf_counter`` seconds) to the tuple.
+        Returns ``(None, next_seq, 0[, None])`` on timeout.
         """
         if not 1 <= k <= self._cap:
             raise ValueError("batch size exceeds the ring capacity")
@@ -104,12 +112,15 @@ class FrameRing:
             ok = self._cond.wait_for(
                 lambda: self._seq >= next_seq + k - 1, timeout)
             if not ok:
-                return None, next_seq, 0
+                return (None, next_seq, 0, None) if with_stamps \
+                    else (None, next_seq, 0)
             first = max(next_seq, self._seq - self._cap + 1)
             idx = np.arange(first, first + k) % self._cap
             src = self._buf[idx]            # fancy index = fresh copy
             if 0 < channels < src.shape[1]:
                 src = np.ascontiguousarray(src[:, :channels])
+            if with_stamps:
+                return src, first, first - next_seq, self._stamps[idx].copy()
             return src, first, first - next_seq
 
 
@@ -220,7 +231,8 @@ class Receiver:
         return frame, seq
 
     def read_batch(self, k: int, next_seq: int = 1,
-                   timeout: Optional[float] = 5.0, channels: int = 0):
+                   timeout: Optional[float] = 5.0, channels: int = 0,
+                   with_stamps: bool = False):
         """``k`` counter-contiguous frames, oldest first, each delivered
         exactly once — the full-line-rate consumer API.
 
@@ -230,23 +242,29 @@ class Receiver:
         many frames were overwritten unread.  ``channels`` > 0 returns only
         the leading connected rows (``n_arrays * rows * cols``; the tail
         rows are never written and shrink host->device transfers for
-        nothing).  Dead-mic mask applied.  Raises :class:`TimeoutError`
-        when k frames don't arrive in time.
+        nothing).  ``with_stamps`` appends per-frame publish times
+        (``time.perf_counter`` seconds; both backends stamp
+        CLOCK_MONOTONIC at ring publish) — the packet-side anchor of the
+        audio end-to-end latency contract.  Dead-mic mask applied.
+        Raises :class:`TimeoutError` when k frames don't arrive in time.
         """
         if self._native is not None:
-            batch, first, skipped = self._native.read_batch(
-                k, next_seq, timeout, channels=channels)
+            out = self._native.read_batch(
+                k, next_seq, timeout, channels=channels,
+                with_stamps=with_stamps)
         else:
-            batch, first, skipped = self.buffer.read_batch(
-                k, next_seq, timeout, channels=channels)
-            if batch is None:
+            out = self.buffer.read_batch(
+                k, next_seq, timeout, channels=channels,
+                with_stamps=with_stamps)
+            if out[0] is None:
                 raise TimeoutError("no frame batch within timeout")
+        batch = out[0]
         dead = self._dead_rows
         if dead.size:
             if channels:
                 dead = dead[dead < batch.shape[1]]
             batch[:, dead] = 0.0
-        return batch, first, skipped
+        return out
 
     # -- python receive loop --------------------------------------------------
 

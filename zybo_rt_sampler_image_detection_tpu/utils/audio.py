@@ -144,6 +144,45 @@ class WavFileSink(AudioSink):
                 "may be truncated", exc_info=True)
 
 
+class MockCallbackSink(AudioSink):
+    """Deadline-accounting stand-in for a PortAudio callback output.
+
+    The reference feeds a PortAudio callback ring at line rate
+    (``api.c:268-282``); this image has no audio hardware, so this sink
+    models the device side: a wall-clock consumer drains the buffer at
+    ``sample_rate`` starting ``prefill_ms`` after the first write.  Any
+    demand the writes have not covered yet counts as underflow samples
+    (the silence a real callback would have emitted).  Lets tests and
+    the demo measure whether the pipeline would keep a live audio
+    device fed, without sounddevice."""
+
+    def __init__(self, sample_rate: float, prefill_ms: float = 50.0):
+        import time
+        self._clock = time.perf_counter
+        self.rate = float(sample_rate)
+        self.prefill = int(self.rate * prefill_ms / 1e3)
+        self.written = 0
+        self.underflow_samples = 0
+        self._t0 = None
+
+    def write(self, samples: np.ndarray) -> None:
+        n = int(np.asarray(samples).shape[0])
+        now = self._clock()
+        if self._t0 is None:
+            self._t0 = now
+        demand = max(0, int((now - self._t0) * self.rate) - self.prefill)
+        if demand > self.written:
+            # the callback already played silence for these samples; the
+            # stream continues from the live edge (PortAudio semantics)
+            self.underflow_samples += demand - self.written
+            self.written = demand
+        self.written += n
+
+    @property
+    def underflow_ms(self) -> float:
+        return 1e3 * self.underflow_samples / self.rate
+
+
 class SoundDeviceSink(AudioSink):                     # pragma: no cover
     def __init__(self, sample_rate: float):
         import sounddevice as sd
@@ -167,6 +206,8 @@ def make_sink(kind: str, sample_rate: float,
         return WavFileSink(path or "miso.wav", sample_rate)
     if kind == "sounddevice":
         return SoundDeviceSink(sample_rate)
+    if kind == "mock":
+        return MockCallbackSink(sample_rate)
     if kind == "auto":
         try:
             return SoundDeviceSink(sample_rate)
