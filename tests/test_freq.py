@@ -286,6 +286,35 @@ def test_solve_hermitian_matches_numpy(tiny_cfg, rng):
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
 
 
+def test_invert_hermitian_matches_numpy():
+    """The blocked potri-style inversion (the round-4 refresh path) ==
+    float64 numpy inverse, at sizes that exercise BOTH the batched-leaf
+    trtri merge (n/base a power of two) and the odd-size fallback.
+
+    Local rng: the session fixture's draw order calibrates the long-run
+    drift gates downstream — consuming it here would shift their noise
+    realizations."""
+    rng = np.random.default_rng(42)
+    for F, M, base in [(3, 32, 8), (2, 7, 8), (1, 16, 4)]:
+        A = (rng.standard_normal((F, M, M))
+             + 1j * rng.standard_normal((F, M, M)))
+        R = A @ A.conj().transpose(0, 2, 1) + 0.5 * np.eye(M)
+        want = np.linalg.inv(R)
+        pr, pi = freq.invert_hermitian(
+            np.float32(R.real), np.float32(R.imag), base=base)
+        got = np.asarray(pr) + 1j * np.asarray(pi)
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+        # near-Hermitian on well-conditioned input (the f32 embedding
+        # factorization breaks exact structure by ~cond*eps; see the
+        # invert_hermitian docstring for why it must NOT be re-projected)
+        np.testing.assert_allclose(np.asarray(pr),
+                                   np.asarray(pr).transpose(0, 2, 1),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(pi),
+                                   -np.asarray(pi).transpose(0, 2, 1),
+                                   atol=1e-4)
+
+
 # ---------------------------------------------------------------------------
 # Streaming inverse covariance (RLS / Sherman-Morrison) — real-time MVDR
 # ---------------------------------------------------------------------------
