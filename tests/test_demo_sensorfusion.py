@@ -1,7 +1,9 @@
 """Hermetic end-to-end fused demo: emulator -> ingest -> batched heatmaps,
-synthetic camera -> batched YOLO tracker (emit_boxes), all composited by
-the ON-DEVICE display chain (``demo sensorfusion --composite device``,
-the round-4 default) — the full wiring of
+synthetic camera -> batched YOLO tracker (emit_boxes), composited by the
+ON-DEVICE display chain (``--composite device``) — and the round-4
+default single-program mode (``--composite fused``: steered power + YOLO
++ composite in ONE device program, one packed upload and one packed
+download per batch).  The full wiring of
 ``/root/reference/PC/main.pyx:669-736`` + ``record_sensorfusion``.
 """
 
@@ -50,3 +52,31 @@ def test_fused_demo_device_composite(capsys):
     assert "'frames': 6" in out, out       # DeviceViewer.report()
     assert "latency_p50_ms" in out
     assert time.time() - t0 < 120.0
+
+
+def test_fused_demo_single_program(capsys):
+    """--composite fused: the whole cycle in one device program, with
+    the detectable scene so REAL detections flow through the in-program
+    detector -> host SORT -> next batch's composite boxes."""
+    port = 21952
+    cfg = zrt.Config.tiny().replace(udp_port=port)
+    stop = threading.Event()
+    streamer.stream_in_background(cfg, _frame_gen(cfg, stop),
+                                  n_arrays=1, delay=0.5,
+                                  rate=cfg.sample_rate / 16)
+    t0 = time.time()
+    try:
+        demo.main(["sensorfusion", "--replay", "--preset", "tiny",
+                   "--port", str(port), "--headless",
+                   "--frames", "6", "--composite", "fused",
+                   "--composite-batch", "3",
+                   "--camera", "-2", "--pretrain", "40",
+                   "--width", "160", "--height", "96", "--out", ""])
+    finally:
+        stop.set()
+    out = capsys.readouterr().out
+    assert "fused rate:" in out
+    assert "'frames':" in out              # FusedSensorStage.report()
+    assert "latency_p50_ms" in out
+    assert "'fused'" in out                # stage metrics present
+    assert time.time() - t0 < 180.0

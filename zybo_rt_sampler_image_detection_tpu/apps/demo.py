@@ -389,9 +389,17 @@ def cmd_sensorfusion(args):
     from .web import SyntheticCamera
 
     device_comp = args.composite == "device"
+    fused_comp = args.composite == "fused"
     p = _make_pipeline(args)
     p.connect()
-    if args.heatmap_batch > 1:
+    if fused_comp:
+        # the fused stage owns the heatmap path.  The default q_yolo
+        # holds 2 frames (drop-oldest backpressure for the single-frame
+        # loops); the fused stage batches K camera frames per cycle, so
+        # deepen it BEFORE start_camera captures the reference.
+        import queue as _queue
+        p.q_yolo = _queue.Queue(maxsize=2 * args.composite_batch)
+    elif args.heatmap_batch > 1:
         # full-rate heatmap stage publishing EVERY map to the display
         # queue (drop-oldest keeps the viewer fed at its own pace) —
         # the single-frame stage caps the fused rate at the ~40 ms
@@ -427,23 +435,69 @@ def cmd_sensorfusion(args):
                                           width_mult=args.detector_width))
     tkw = (dict(max_age=args.track_coast, report_coasted=True)
            if getattr(args, "track_coast", 0) else {})
-    tkw["emit_boxes"] = device_comp
-    if args.tracker_batch > 1:
-        # one YOLO device launch per K camera frames (the single-frame
-        # loop is dispatch-bound at ~15 fps through the tunnel)
-        p.start_tracker_batched(det, batch=args.tracker_batch, **tkw)
-    else:
-        p.start_tracker(det, **tkw)
+    if not fused_comp:            # the fused stage owns detect + track
+        tkw["emit_boxes"] = device_comp
+        if args.tracker_batch > 1:
+            # one YOLO device launch per K camera frames (the
+            # single-frame loop is dispatch-bound at ~15 fps through
+            # the tunnel)
+            p.start_tracker_batched(det, batch=args.tracker_batch, **tkw)
+        else:
+            p.start_tracker(det, **tkw)
 
     frames_wanted = args.frames or 30
     disp = ArrayDisplay(keep=frames_wanted)
+    cam_hw = getattr(cam, "size", None)
+    if cam_hw is None:            # real capture: probe one frame
+        ok, probe = cam.read()
+        cam_hw = probe.shape[:2] if ok else (240, 320)
+    grid = (p.cfg.max_res_x, p.cfg.max_res_y)
+    if fused_comp:
+        from ..fusion.composite import DeviceCompositor
+        from .fused import FusedSensorStage
+        compositor = DeviceCompositor(
+            grid, cam_hw, window=(args.width, args.height),
+            yolo_shape=cam_hw, max_tracks=8)
+        # only the connected channel rows cross the tunnel (the tail
+        # rows are never written) — same policy as demo fullrate
+        n_ch = (p.receiver.n_arrays
+                or p.cfg.active_arrays) * p.cfg.rows * p.cfg.columns
+        stage = FusedSensorStage(
+            p.receiver, p.tables, compositor, det, p.q_yolo, disp,
+            p.metrics, batch=args.composite_batch,
+            channels=min(n_ch, p.cfg.n_microphones),
+            transfer=args.transfer,
+            display_transport=args.display_transport,
+            steer_cb=lambda h, v: p.steer_cartesian_degree(h, v),
+            tracker_kwargs=tkw or None)
+        print("compiling fused sensor stage ...")
+        t0 = time.time()
+        stage.warmup()
+        print(f"  ready in {time.time()-t0:.1f}s")
+        t0 = time.time()
+        p.run_stage(stage)
+        deadline = time.time() + max(60.0, frames_wanted * 5.0)
+        while stage.frames < frames_wanted and time.time() < deadline:
+            time.sleep(0.1)
+        fused_elapsed = time.time() - t0
+        p.stop()
+        print(f"fused rate: {stage.frames / fused_elapsed:.1f} fps over "
+              f"{stage.frames} composited frames ({fused_elapsed:.1f}s)")
+        print("composite:", stage.report())
+        if args.out:
+            import cv2
+            h, w = disp.frames[0].shape[:2]
+            vw = cv2.VideoWriter(args.out,
+                                 cv2.VideoWriter_fourcc(*"mp4v"),
+                                 15, (w, h))
+            for f in disp.frames:
+                vw.write(f)
+            vw.release()
+            print(f"wrote {len(disp.frames)} fused frames -> {args.out}")
+        print("metrics:", p.report())
+        return
     if device_comp:
         from ..fusion.composite import DeviceCompositor, DeviceViewer
-        cam_hw = getattr(cam, "size", None)
-        if cam_hw is None:            # real capture: probe one frame
-            ok, probe = cam.read()
-            cam_hw = probe.shape[:2] if ok else (240, 320)
-        grid = (p.cfg.max_res_x, p.cfg.max_res_y)
         compositor = DeviceCompositor(
             grid, cam_hw, window=(args.width, args.height),
             yolo_shape=cam_hw, max_tracks=8)
@@ -589,12 +643,18 @@ def main(argv=None):
     p.add_argument("--heatmap-batch", type=int, default=16,
                    help="frames per heatmap device launch, all maps "
                         "published (1 = single-frame reference loop)")
-    p.add_argument("--composite", default="device",
-                   choices=["device", "host"],
-                   help="display-chain backend: 'device' = one batched "
-                        "jitted program (colorize/resize/blend/decider "
-                        "on TPU); 'host' = the reference-shaped cv2 "
-                        "chain (Viewer + SensorFusionDecider)")
+    p.add_argument("--composite", default="fused",
+                   choices=["fused", "device", "host"],
+                   help="display-chain backend: 'fused' (default) = the "
+                        "whole cycle (steered power + YOLO + composite) "
+                        "as ONE device program with one packed upload + "
+                        "one packed download per batch (3 RPCs/batch — "
+                        "the tunnel's ~140 ms fixed per-fetch cost makes "
+                        "RPC count, not bytes, the fps ceiling); "
+                        "'device' = separate batched stages with the "
+                        "compositor on TPU; 'host' = the "
+                        "reference-shaped cv2 chain (Viewer + "
+                        "SensorFusionDecider)")
     p.add_argument("--composite-batch", type=int, default=16,
                    help="frames per device composite launch")
     p.add_argument("--heatmap-rate", type=float, default=100.0,
@@ -609,6 +669,18 @@ def main(argv=None):
                    help="detector input size (px)")
     p.add_argument("--detector-width", type=float, default=0.5,
                    help="detector width multiplier")
+    p.add_argument("--transfer", default="f32", choices=["f32", "f16"],
+                   help="mic-sample upload dtype for --composite fused: "
+                        "f16 halves that leg of the tunnel traffic at "
+                        "~1e-3 relative error (display-grade opt-in)")
+    p.add_argument("--display-transport", default="yuv420",
+                   choices=["yuv420", "rgb"],
+                   help="video transport for --composite fused (camera "
+                        "upload AND composite download): yuv420 "
+                        "(default) halves both legs — chroma is "
+                        "2x2-subsampled exactly like the 4:2:0 mp4 the "
+                        "demo writes, so the recorded output loses "
+                        "nothing; rgb keeps byte-exact pixels")
     p.add_argument("--out", default="sensorfusion.mp4")
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--height", type=int, default=360)
