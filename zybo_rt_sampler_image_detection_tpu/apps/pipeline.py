@@ -240,6 +240,27 @@ def _batched_power_program(tables, n_full):
     return lambda frames: _power(frames, *extra)
 
 
+def _sharded_power_program(mesh, tables):
+    """Multi-chip twin of :func:`_batched_power_program` (VERDICT r3 #4):
+    the same production backend policy, but each launch runs the sharded
+    kernel — frames arrive committed to a (data, None, None)
+    NamedSharding (the stage's ``_to_device`` places them), the direction
+    axis shards over ``model``.  Full-width f32 frames only (channel
+    slicing would pad before the shard boundary)."""
+    from ..parallel import mesh as mesh_mod
+    kind, obj = _select_power_backend(tables)
+    if kind == "equiv_kernel":
+        return mesh_mod.sharded_equiv_kernel_power(mesh, tables)
+    if kind == "freq_equiv":
+        return mesh_mod.sharded_equiv_power(
+            mesh, mesh_mod.shard_equiv_tables(obj, mesh))
+    if kind == "fused":
+        return mesh_mod.sharded_fused_power(
+            mesh, mesh_mod.shard_tables(tables, mesh))
+    return mesh_mod.sharded_steered_power(
+        mesh, mesh_mod.shard_tables(tables, mesh))
+
+
 def make_mvdr_stream(cfg: Config, kind: str = "maps", alpha: float = 0.9,
                      band_low: float = 100.0):
     """The streaming-MVDR state machine shared by every production site
@@ -423,8 +444,22 @@ class BatchedStage(Stage):
 
     def __init__(self, name: str, receiver: Receiver,
                  metrics: PipelineMetrics, batch: int, channels: int = 0,
-                 transfer: str = "f32", max_rate: float = 0.0):
+                 transfer: str = "f32", max_rate: float = 0.0,
+                 mesh=None):
         super().__init__(name, metrics)
+        # multi-chip ingest fan-in (SURVEY §2.4): batches transfer with a
+        # batch-over-"data" NamedSharding so the launch runs SPMD over
+        # the mesh with no gather before the device program
+        self.sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            n_data = mesh.shape["data"]
+            if batch % n_data:
+                raise ValueError(
+                    f"batch ({batch}) must divide the data axis "
+                    f"({n_data}) for sharded transfers")
+            self.sharding = NamedSharding(
+                mesh, PartitionSpec("data", None, None))
         if batch > receiver.ring_frames:
             # fail fast: read_batch would raise inside the stage thread,
             # killing it silently while the pipeline runs output-less
@@ -457,6 +492,8 @@ class BatchedStage(Stage):
     def _to_device(self, batch: np.ndarray):
         if self.transfer_dtype is not np.float32:
             batch = batch.astype(self.transfer_dtype)
+        if self.sharding is not None:
+            return jax.device_put(batch, self.sharding)
         return jax.device_put(batch)
 
     def launch(self, frames_dev):
@@ -547,13 +584,21 @@ class BatchedHeatmapProducer(BatchedStage):
     def __init__(self, receiver: Receiver, tables, q_power: queue.Queue,
                  metrics: PipelineMetrics, batch: int = 16,
                  power_fn=None, sink=None, channels: int = 0,
-                 transfer: str = "f32", max_rate: float = 0.0):
+                 transfer: str = "f32", max_rate: float = 0.0,
+                 mesh=None):
         super().__init__("heatmap_batched", receiver, metrics, batch,
-                         channels, transfer, max_rate=max_rate)
+                         channels, transfer, max_rate=max_rate, mesh=mesh)
         self.tables = tables
         self.q_power = q_power
         self.sink = sink or self._default_sink
-        if power_fn is None:
+        if mesh is not None:
+            if power_fn is not None:
+                raise ValueError("mesh and power_fn are exclusive")
+            if channels or transfer != "f32":
+                raise ValueError("sharded transfers need full-width f32 "
+                                 "batches (channels=0, transfer='f32')")
+            power_fn = _sharded_power_program(mesh, tables)
+        elif power_fn is None:
             power_fn = _batched_power_program(tables,
                                               receiver.cfg.n_microphones)
         elif ((channels and channels < receiver.cfg.n_microphones)
@@ -1016,17 +1061,24 @@ class Pipeline:
 
     def make_heatmap_batched(self, batch: int = 16, sink=None,
                              channels: int = 0, transfer: str = "f32",
-                             max_rate: float = 0.0):
+                             max_rate: float = 0.0, mesh=None):
         """Build (but don't start) the full-line-rate stage — lets callers
         :meth:`BatchedHeatmapProducer.warmup` (compile) before any packets
         flow, then :meth:`run_stage` it after :meth:`connect`.
         ``max_rate`` (frames/s) throttles for display consumers sharing
-        the device link (see :class:`BatchedStage`)."""
+        the device link (see :class:`BatchedStage`).  ``mesh``: transfer
+        every batch with a batch-over-"data" NamedSharding and launch the
+        sharded production kernel (SURVEY §2.4 ingest fan-in)."""
+        if mesh is not None and self._power_fn is not None:
+            raise ValueError("mesh is exclusive with a configured "
+                             "power_fn/power_backend")
         return BatchedHeatmapProducer(self.receiver, self.tables,
                                       self.q_power, self.metrics,
-                                      batch=batch, power_fn=self._power_fn,
+                                      batch=batch,
+                                      power_fn=self._power_fn,
                                       sink=sink, channels=channels,
-                                      transfer=transfer, max_rate=max_rate)
+                                      transfer=transfer, max_rate=max_rate,
+                                      mesh=mesh)
 
     def run_stage(self, s):
         self.stages.append(s)
@@ -1034,11 +1086,12 @@ class Pipeline:
         return s
 
     def start_heatmap_batched(self, batch: int = 16, sink=None,
-                              warmup: bool = True, max_rate: float = 0.0):
+                              warmup: bool = True, max_rate: float = 0.0,
+                              mesh=None):
         """Full-line-rate variant of :meth:`start_heatmap` — every frame
         beamformed in K-frame device batches (SURVEY §7 hard part b)."""
         s = self.make_heatmap_batched(batch=batch, sink=sink,
-                                      max_rate=max_rate)
+                                      max_rate=max_rate, mesh=mesh)
         if warmup:
             s.warmup()
             if getattr(self._power_fn, "reset", None):
