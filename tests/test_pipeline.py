@@ -273,6 +273,93 @@ def test_web_sound_route():
         server.camera.stop()
 
 
+def test_web_adaptive_sound_route():
+    """/sound?beam=mvdr (the UI's "adaptive sound" link, ``web.py:59``)
+    starts the gapless batched MVDR listening stage: the audio stage must
+    be the full-rate BatchedMisoProducer driven by the streaming-MVDR
+    beam closure (not the time-domain default), audio must flow, and
+    /metrics must report the stage."""
+    import json
+
+    cfg = zrt.Config.tiny().replace(udp_port=21932)
+    # wide replay window — MVDR bring-up (freq tables + warmup compiles)
+    # can take seconds on a loaded 1-core host
+    frames = _source_frames(cfg, 4, 3, n=3000)
+    streamer.stream_in_background(cfg, frames, n_arrays=1, delay=0.5,
+                                  exact_reference=False,
+                                  rate=2 * cfg.sample_rate)
+    from zybo_rt_sampler_image_detection_tpu.apps.pipeline import (
+        BatchedMisoProducer)
+    from zybo_rt_sampler_image_detection_tpu.apps.web import make_server
+    server = make_server(cfg, replay=True, port=0, headless_camera=True)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/sound?beam=mvdr", timeout=60).read()
+        p = server.camera.pipeline
+        assert p is not None
+        miso = p._miso
+        assert isinstance(miso, BatchedMisoProducer)
+        # the adaptive path: beam_fn is the stateful streaming-MVDR
+        # closure (it exposes reset), not the plain delay-and-sum lambda
+        assert getattr(miso.beam_fn, "reset", None) is not None
+        deadline = time.time() + 15
+        while time.time() < deadline and miso.sink.frames == 0:
+            time.sleep(0.2)
+        assert miso.sink.frames > 0
+        rep = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics", timeout=5).read())
+        assert rep["backend"] == "pad"          # imaging half stays pad
+        assert rep["running"] is True
+        stage = rep["pipeline"]["miso_batched"]
+        assert stage["processed"] > 0
+        assert "audio_e2e_p50_ms" in stage        # the latency contract
+    finally:
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/disconnect", timeout=10).read()
+        server.shutdown()
+        server.camera.stop()
+
+
+def test_web_fullrate_optin():
+    """?fullrate=1 on an imaging backend swaps in the batched full-rate
+    heatmap stage (every frame beamformed) and /metrics gains its
+    processed/skipped accounting."""
+    import json
+
+    cfg = zrt.Config.tiny().replace(udp_port=21933)
+    frames = _source_frames(cfg, 4, 3, n=3000)
+    streamer.stream_in_background(cfg, frames, n_arrays=1, delay=0.5,
+                                  exact_reference=False,
+                                  rate=2 * cfg.sample_rate)
+    from zybo_rt_sampler_image_detection_tpu.apps.web import make_server
+    server = make_server(cfg, replay=True, port=0, headless_camera=True)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/enableBackend1?fullrate=1",
+            timeout=60).read()
+        deadline = time.time() + 15
+        stage = {}
+        while time.time() < deadline:
+            rep = json.loads(urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/metrics", timeout=5).read())
+            stage = rep.get("pipeline", {}).get("heatmap_batched", {})
+            if stage.get("processed", 0) > 0:
+                break
+            time.sleep(0.3)
+        assert stage.get("processed", 0) > 0
+    finally:
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/disconnect", timeout=10).read()
+        server.shutdown()
+        server.camera.stop()
+
+
 def test_record_udp_to_pcap(tmp_path):
     """UDP wire capture -> pcap + timestamp CSV (record_udp parity)."""
     import csv

@@ -55,6 +55,7 @@ _PAGE = """<!doctype html><html><head><title>zybo-rt-tpu</title></head>
  <a href="/enableBackend2?threshold={threshold}&amount={amount}">convolve</a> |
  <a href="/enableBackend3?threshold={threshold}&amount={amount}">fft</a> |
  <a href="/enableBackend4?threshold={threshold}&amount={amount}">mvdr</a> |
+ <a href="/enableBackend1?threshold={threshold}&amount={amount}&fullrate=1">pad full-rate</a> |
  <a href="/sound?threshold={threshold}&amount={amount}">pad + sound</a> |
  <a href="/sound?threshold={threshold}&amount={amount}&beam=mvdr">adaptive sound</a> |
  <a href="/replay">replay</a> |
@@ -123,7 +124,7 @@ class VideoCamera:
     # -- backend lifecycle (views.py:32-98 semantics) ---------------------------
 
     def start(self, backend: int, sound: bool = False,
-              sound_beam: str = "time"):
+              sound_beam: str = "time", fullrate: bool = False):
         with self._lock:
             self._stop_locked()
             algo = _BACKENDS.get(backend, "pad")
@@ -145,7 +146,15 @@ class VideoCamera:
                          replay_mode=self.replay, audio_sink="null",
                          power_fn=power_fn)
             p.connect()
-            p.start_heatmap()
+            if fullrate:
+                # full-rate opt-in (?fullrate=1): EVERY frame beamformed
+                # via the batched stage; its default sink still publishes
+                # the newest map per batch to q_power for the MJPEG
+                # overlay, and /metrics gains the processed/skipped
+                # full-rate accounting
+                p.start_heatmap_batched()
+            else:
+                p.start_heatmap()
             if sound:
                 if sound_beam == "mvdr":
                     # adaptive listening: gapless batched MVDR beam
@@ -339,7 +348,8 @@ def make_server(cfg: Config = None, replay: bool = False, port: int = 8000,
                     return
                 if not self._sliders(q):
                     return
-                cam.start(n)
+                cam.start(n, fullrate=q.get("fullrate",
+                                            ["0"])[0] not in ("0", ""))
                 self._page(action=u.path)
             elif u.path == "/sound":
                 # ?beam=mvdr selects the adaptive (streaming-MVDR)
