@@ -124,6 +124,20 @@ def main(smoke: bool = False) -> None:
             print(f"# rung {k}: {v:.1f}", file=sys.stderr, flush=True)
 
     ladder = _Ladder()
+    # Per-map FLOP models (2 FLOP/MAC, dominant contractions only) so the
+    # stderr report can translate maps/s -> achieved TFLOPS and MFU per
+    # rung (VERDICT r3 #8).  Time-domain: the (D, T*M) @ (T*M, B*N) beam
+    # matmul.  Equiv: DFT-by-matmul (4*M*N*F) + the stacked K=2M plane
+    # contraction (8*D*M*F); head/tail corrections are <1% and omitted.
+    flops_per_map = {}
+
+    def _td_flops(tables, n_samples):
+        D, T, M = tables.W.shape
+        return 2.0 * D * T * M * n_samples
+
+    def _equiv_flops(et, n_samples):
+        D, M2, F = et.Hs1.shape
+        return 2.0 * M2 * n_samples * F + 4.0 * D * M2 * F
     # "highest": bit-level f32 (the exactness-gate mode); "high": 3-pass
     # bf16 hi/lo emulation (abs err bound gated by
     # test_fused_three_pass_mode; measured ~5e-6 rel on the power map vs
@@ -143,6 +157,8 @@ def main(smoke: bool = False) -> None:
         # tables as pytree ARGUMENTS.
         xla_rate = timed(lambda f: beamform.steered_power(f, tables),
                          key=f"{name}_xla")
+        flops_per_map[f"{name}_xla"] = flops_per_map[name] = \
+            _td_flops(tables, cfg.n_samples)
         ladder[f"{name}_xla"] = xla_rate
         best = xla_rate
         fused = FusedBeamformer(tables)
@@ -157,6 +173,7 @@ def main(smoke: bool = False) -> None:
     from zybo_rt_sampler_image_detection_tpu.ops import freq_equiv
     et_ns = freq_equiv.make_equiv_tables(beamform.make_tables(
         cfg0.replace(matmul_precision="high"), "lerp", cache=False))
+    flops_per_map["high_equiv_exact"] = _equiv_flops(et_ns, cfg0.n_samples)
     ladder["high_equiv_exact"] = timed(
         lambda f: freq_equiv.equiv_steered_power(f, et_ns),
         key="high_equiv_exact")
@@ -169,11 +186,41 @@ def main(smoke: bool = False) -> None:
     from zybo_rt_sampler_image_detection_tpu.ops.equiv_kernel import (
         FusedEquivBeamformer,
     )
-    ek = FusedEquivBeamformer(beamform.make_tables(
+
+    def checked_kernel(tables, **kw):
+        """Tuned-plan compile guard (VERDICT r3 #5): _TUNED_PLANS pins
+        winners measured against an erratic Mosaic compile ceiling; a
+        toolchain bump could turn one into a production compile crash.
+        Compile the plan CACHE-OFF before publishing its rung; on
+        failure fall back to the auto-search plan (and say so)."""
+        ek0 = FusedEquivBeamformer(tables, **kw)
+        if smoke:
+            return ek0                     # CPU interpret path: no Mosaic
+        old = jax.config.jax_enable_compilation_cache
+        try:
+            jax.config.update("jax_enable_compilation_cache", False)
+            import jax.numpy as jnp
+            zeros = jnp.zeros((8, ek0.M, ek0.N), jnp.float32)
+            ek0._fwd.lower(zeros, ek0.kt).compile()
+            return ek0
+        except Exception as e:             # Mosaic allocator crash class
+            print(f"# TUNED PLAN ({ek0.chunk_b}, {ek0.n_fc}) failed to "
+                  f"compile: {type(e).__name__}; falling back to "
+                  f"auto-search", file=sys.stderr)
+            return FusedEquivBeamformer(tables, use_tuned=False, **kw)
+        finally:
+            jax.config.update("jax_enable_compilation_cache", old)
+    ek = checked_kernel(beamform.make_tables(
         cfg0.replace(matmul_precision="high"), "lerp", cache=False))
+    # same DFT + stacked-plane math as the XLA equiv path (2M planes)
+    ek_flops = (2.0 * (2 * ek.M) * ek.N * ek.F
+                + 4.0 * ek.D * (2 * ek.M) * ek.F)
+    flops_per_map["high_equiv_kernel"] = ek_flops
+    flops_per_map["bf16_equiv_kernel"] = ek_flops
+    flops_per_map["f32_equiv_kernel"] = ek_flops
     ladder["high_equiv_kernel"] = timed(ek._call, key="high_equiv_kernel")
     ladder["high"] = max(ladder["high"], ladder["high_equiv_kernel"])
-    ek = FusedEquivBeamformer(beamform.make_tables(
+    ek = checked_kernel(beamform.make_tables(
         cfg0.replace(matmul_precision="default", matmul_dtype="bfloat16"),
         "lerp", cache=False))
     ladder["bf16_equiv_kernel"] = timed(ek._call, key="bf16_equiv_kernel")
@@ -181,7 +228,7 @@ def main(smoke: bool = False) -> None:
     # f32 mode (6-pass HIGHEST planes): ~1e-6-class accuracy AND faster
     # than the XLA equiv path — recorded as its own accuracy tier (the
     # "highest" rung keeps the bit-level time-domain contract).
-    ek = FusedEquivBeamformer(beamform.make_tables(
+    ek = checked_kernel(beamform.make_tables(
         cfg0.replace(matmul_precision="high"), "lerp", cache=False),
         mode="f32")
     ladder["f32_equiv_kernel"] = timed(ek._call, key="f32_equiv_kernel")
@@ -192,6 +239,7 @@ def main(smoke: bool = False) -> None:
     cfg_hi = cfg0.replace(matmul_precision="high")
     for algo in ("pad", "truncated", "convolve", "hybrid"):
         tables = beamform.make_tables(cfg_hi, algo, cache=True)
+        flops_per_map[algo] = _td_flops(tables, cfg_hi.n_samples)
         rate = timed(lambda f, t=tables: beamform.steered_power(f, t))
         fused = FusedBeamformer(tables)
         if fused.fits_vmem:
@@ -214,6 +262,9 @@ def main(smoke: bool = False) -> None:
     # tables as pytree ARGUMENTS — wrapping them in another jit(lambda)
     # would bake the ~100 MB reference tables into the compile request
     # (the remote compile service rejects it with HTTP 413).
+    flops_per_map["lerp_reference_shape_57x32_256ch"] = \
+        flops_per_map["lerp_reference_shape_fused"] = \
+        _td_flops(t_ref, ref_cfg.n_samples)
     ladder["lerp_reference_shape_57x32_256ch"] = timed_ref(
         lambda f: beamform.steered_power(f, t_ref),
         key="lerp_reference_shape_57x32_256ch")
@@ -226,12 +277,15 @@ def main(smoke: bool = False) -> None:
     # as the time-domain lerp to f32 rounding, no T axis in the per-frame
     # contraction — the fastest exact path at the reference shape
     et_ref = freq_equiv.make_equiv_tables(t_ref)
+    flops_per_map["lerp_reference_shape_equiv_exact"] = \
+        flops_per_map["lerp_reference_shape_equiv_kernel"] = \
+        _equiv_flops(et_ref, ref_cfg.n_samples)
     ladder["lerp_reference_shape_equiv_exact"] = timed_ref(
         lambda f: freq_equiv.equiv_steered_power(f, et_ref),
         key="lerp_reference_shape_equiv_exact")
     # ... and the fused equiv KERNEL — the production 'high' default at
     # this shape (tuned plan (128, 3); BENCHMARKS.md "Fused equiv kernel")
-    ek_ref = FusedEquivBeamformer(t_ref)
+    ek_ref = checked_kernel(t_ref)
     ladder["lerp_reference_shape_equiv_kernel"] = timed_ref(
         ek_ref._call, key="lerp_reference_shape_equiv_kernel")
     del ek_ref
@@ -336,6 +390,21 @@ def main(smoke: bool = False) -> None:
           f"exact f32) backend={jax.default_backend()}", file=sys.stderr)
     print(f"# medians of {R} repeat(s); rel spreads: {spreads}; "
           f"host steal ticks during run: {steal}", file=sys.stderr)
+    # maps/s -> achieved TFLOPS per rung (model: dominant-contraction
+    # MACs x2 — see flops_per_map) + MFU vs the v5e bf16 MXU peak
+    # (197 TFLOPS).  'high' rungs run 3 bf16 passes per logical matmul
+    # and 'highest'/f32 run 6 — the *_mxu_util entries scale the model
+    # FLOPs by that pass count so utilization is comparable across tiers.
+    passes = {"highest": 6, "high": 3, "bf16": 1, "f32": 6}
+    tf = {}
+    for k, fl in flops_per_map.items():
+        if k not in ladder:
+            continue
+        tf[k] = round(ladder[k] * fl / 1e12, 2)
+        tier = next((p for p in passes if k.startswith(p)), "high")
+        tf[f"{k}_mxu_util"] = round(
+            ladder[k] * fl * passes[tier] / 197e12, 3)
+    print(f"# tflops (model): {tf}", file=sys.stderr)
 
 
 if __name__ == "__main__":

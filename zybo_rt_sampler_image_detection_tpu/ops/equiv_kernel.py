@@ -263,7 +263,8 @@ class FusedEquivBeamformer:
     def __init__(self, t, mode: Optional[str] = None,
                  tile_d: int = 128, interpret: Optional[bool] = None,
                  vmem_budget: int = 88 * 1024 * 1024,
-                 plan_override: Optional[tuple] = None):
+                 plan_override: Optional[tuple] = None,
+                 use_tuned: bool = True):
         et = t if isinstance(t, EquivFreqTables) else make_equiv_tables(t)
         if mode is None:
             mode = {"high": "high", "highest": "f32"}.get(
@@ -318,7 +319,7 @@ class FusedEquivBeamformer:
 
         self.chunk_b = None
         plan = None
-        if plan_override is None:
+        if plan_override is None and use_tuned:
             plan_override = _TUNED_PLANS.get((mode, MP2))
             if plan_override is not None:
                 # tuned plans were measured to compile, but re-check the
