@@ -446,3 +446,97 @@ def test_multiclass_scene_shapes():
         else:
             assert corner > 0.55 and center < 0.6
     assert seen == {0, 1, 2}
+
+
+def test_scan_chunk_matches_per_step():
+    """The reference-recipe runner folds training into lax.scan chunks
+    (one dispatch per chunk through the tunnel); its steps must equal
+    the per-step Trainer API bit-for-bit given the same batch order."""
+    import jax
+    import jax.numpy as jnp
+
+    from zybo_rt_sampler_image_detection_tpu.models import data
+
+    cfg = small_cfg()
+    rng = np.random.default_rng(3)
+    P, B = 3, 4
+    pool, targets, masks, boxes_all = [], None, None, []
+    for _ in range(P):
+        images, boxes = data.synthetic_detection_batch(
+            rng, B, 64, num_classes=2)
+        pool.append((images * 255.0).astype(np.uint8))
+        boxes_all.append(boxes)
+        tm = train.build_targets(cfg, boxes)
+        if targets is None:
+            targets = [[t] for t, _ in tm]
+            masks = [[m] for _, m in tm]
+        else:
+            for hi, (t, m) in enumerate(tm):
+                targets[hi].append(t)
+                masks[hi].append(m)
+    pool_dev = jnp.asarray(np.stack(pool))
+    targets = tuple(jnp.asarray(np.stack(t)) for t in targets)
+    masks = tuple(jnp.asarray(np.stack(m)) for m in masks)
+    idxs = jnp.asarray([0, 2, 1, 0, 1], jnp.int32)
+
+    tr_scan = train.Trainer(cfg, learning_rate=3e-3, seed=11)
+    step_core = tr_scan._step_fn
+
+    def chunk(sv, os_, i_seq):
+        def body(carry, i):
+            sv, os_ = carry
+            imgs = pool_dev[i].astype(jnp.float32) / 255.0
+            sv, os_, loss = step_core(
+                sv, os_, imgs, tuple(t[i] for t in targets),
+                tuple(m[i] for m in masks))
+            return (sv, os_), loss
+        (sv, os_), losses = jax.lax.scan(body, (sv, os_), i_seq)
+        return sv, os_, losses
+
+    sv, os_, losses = jax.jit(chunk)(
+        tr_scan.state.variables, tr_scan.state.opt_state, idxs)
+
+    tr_ref = train.Trainer(cfg, learning_rate=3e-3, seed=11)
+    ref_losses = []
+    for i in np.asarray(idxs):
+        imgs = pool[int(i)].astype(np.float32) / 255.0
+        ref_losses.append(tr_ref.train_step(imgs, boxes_all[int(i)]))
+
+    np.testing.assert_allclose(np.asarray(losses), ref_losses,
+                               rtol=1e-5, atol=1e-6)
+    # params: XLA fuses the scan body differently from the standalone
+    # step program (and CPU matmul threading is nondeterministic), so
+    # per-element agreement is f32-rounding-level amplified by adamw's
+    # m/sqrt(v) on near-zero-v elements — observed up to ~1e-2 rel on
+    # 1-2 of 73728 elements, varying run to run.  Gate the norm-level
+    # distance instead: the per-step LOSSES above already chain through
+    # the params (step k's loss is computed on step k-1's params), so a
+    # semantic drift (wrong batch order / stale carry) would blow both.
+    def _close(a, b):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        num = np.linalg.norm(a - b)
+        den = max(np.linalg.norm(b), 1e-12)
+        assert num / den < 3e-4, (num / den, a.shape)
+    jax.tree.map(_close, sv, tr_ref.state.variables)
+
+
+def test_reference_recipe_smoke():
+    """train_reference_recipe end to end at CI shapes: pool build, scan
+    chunks, throughput measurement, held-out batched mAP eval, weights
+    save, report fields."""
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "w.pkl")
+        rep = train.train_reference_recipe(
+            steps=10, batch_size=4, size=64, width=0.25, num_classes=2,
+            pool_batches=4, chunk_steps=4, eval_images=8, map_gate=0.0,
+            weights_out=out, progress=lambda *a: None)
+        assert rep["gate_ok"] and rep["steps"] == 10
+        assert rep["steps_per_s"] is None or rep["steps_per_s"] > 0
+        assert len(rep["aps"]) == 2
+        det = detect.YoloDetector(model_path=out, cfg=yolo.YoloConfig(
+            input_size=64, width_mult=0.25, num_classes=2))
+        assert det.get_detections(
+            np.zeros((64, 64, 3), np.uint8)) is not None

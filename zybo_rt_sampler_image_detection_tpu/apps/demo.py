@@ -228,14 +228,18 @@ def cmd_record(args):
 
 def cmd_emulate(args):
     """Software FPGA (``udp/streamer.c`` parity): stream synthetic signal
-    or an .npy capture to loopback forever."""
-    from ..ingest.streamer import Streamer
+    or an .npy capture to loopback forever.
+
+    Default engine is the NATIVE chunk-paced streamer
+    (``ingest/native/ingest.cpp``): a few percent of a core at the true
+    48,828 pkt/s line rate, vs ~56-93%% measured for the Python packet
+    loop — on the 1-core harness a background Python emulator starves
+    every realtime pipeline thread it feeds.  ``--python`` keeps the
+    loop-for-loop reference-parity generator."""
     cfg = Config()
     if args.port:
         cfg = cfg.replace(udp_port=args.port)
     n_arrays = _resolve_arrays(args, cfg)
-    s = Streamer(cfg, n_arrays=n_arrays)
-    s.send_header()
     rate = None if args.fast else cfg.sample_rate
     if args.npy:
         sig = np.load(args.npy).astype(np.float32)
@@ -243,9 +247,26 @@ def cmd_emulate(args):
         t = np.arange(cfg.n_samples * 64) / cfg.sample_rate
         sig = np.tile(np.sin(2 * np.pi * args.freq * t).astype(np.float32),
                       (cfg.n_microphones, 1)) * 0.1
+    use_python = args.python or args.once   # native streams cyclically
+    engine = "python" if use_python else "native"
     print(f"emulating {n_arrays} array(s) on "
           f"{cfg.udp_replay_ip}:{cfg.udp_port} "
-          f"({'max rate' if args.fast else 'real-time'})")
+          f"({'max rate' if args.fast else 'real-time'}, {engine})")
+    if not use_python:
+        from ..ingest.streamer import NativeStreamer
+        emu = NativeStreamer(cfg, n_arrays=n_arrays)
+        emu.start(sig, rate=0.0 if args.fast else cfg.sample_rate)
+        try:
+            while True:
+                time.sleep(1.0)
+        except KeyboardInterrupt:
+            pass
+        finally:
+            print(f"sent {emu.stop()} packets")
+        return
+    from ..ingest.streamer import Streamer
+    s = Streamer(cfg, n_arrays=n_arrays)
+    s.send_header()
     try:
         while True:
             s.send_signal(sig, rate)
@@ -419,7 +440,9 @@ def cmd_sensorfusion(args):
         # pretrained detector the fused chain runs on REAL detections
         # (YOLO -> SORT -> decider -> focus_beam steering)
         from ..models.data import SceneCamera
-        cam = SceneCamera((240, 320))
+        # one full Lissajous cycle pre-rendered: read() is a list index,
+        # so the camera thread stops burning ~15% of the 1-vCPU host
+        cam = SceneCamera((240, 320), prerender=1260)
     elif args.camera < 0:
         cam = SyntheticCamera((240, 320))
     else:
@@ -593,6 +616,10 @@ def main(argv=None):
                    help="default: the config's active_arrays")
     p.add_argument("--fast", action="store_true")
     p.add_argument("--once", action="store_true")
+    p.add_argument("--python", action="store_true",
+                   help="the loop-for-loop Python generator (reference "
+                        "parity; ~56-93%% of a core at line rate — the "
+                        "native default is a few %%)")
     p.add_argument("--port", type=int, default=None)
     p.set_defaults(fn=cmd_emulate)
 

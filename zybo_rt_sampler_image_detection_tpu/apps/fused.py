@@ -228,6 +228,11 @@ class FusedSensorStage(Stage):
         self.latency_ms: list = []
         self.light: Optional[float] = None
         self.conf: Optional[float] = None
+        # per-phase wall costs (seconds per batch) — report() summarizes
+        # p50s so a slow run says WHICH leg is the bottleneck
+        self.phase_s: dict = {k: [] for k in
+                              ("collect", "pack", "put", "dispatch",
+                               "fetch", "unpack", "track")}
 
         from ..models.tracking import SmoothedTracker
         self.tracker = SmoothedTracker(detector, **(tracker_kwargs or {}))
@@ -326,6 +331,7 @@ class FusedSensorStage(Stage):
         return out, prev2
 
     def _launch(self, mic, cams, n):
+        t0 = time.perf_counter()
         if self._mic_bytes == 2:
             mic = mic.astype(np.float16)
         if self.display_transport == "yuv420":
@@ -336,10 +342,17 @@ class FusedSensorStage(Stage):
             np.ascontiguousarray(self._boxes).view(np.uint8).reshape(-1)])
         if self._prev is None:
             self._prev = self.comp.init_prev()
+        t1 = time.perf_counter()
+        packed_dev = jax.device_put(packed)
+        t2 = time.perf_counter()
         out, self._prev = self._jit(
-            jax.device_put(packed), self._prev, jnp.int32(n),
+            packed_dev, self._prev, jnp.int32(n),
             self.comp.tables, self._det_tables, self.detector.variables,
             *self._power_extra)
+        t3 = time.perf_counter()
+        self.phase_s["pack"].append(t1 - t0)
+        self.phase_s["put"].append(t2 - t1)
+        self.phase_s["dispatch"].append(t3 - t2)
         return out
 
     def warmup(self):
@@ -376,12 +389,20 @@ class FusedSensorStage(Stage):
 
     def _finish(self, pending):
         out_dev, n, cam_frames, t_ready, t0 = pending
+        tf0 = time.perf_counter()
         host = np.asarray(out_dev)          # ONE packed D2H per batch
-        self.metric.tick(time.perf_counter() - t0)
+        tf1 = time.perf_counter()
+        self.metric.tick(tf1 - t0)
         comps, dets, mask, cls_ids, metas = self._unpack(host)
+        self.phase_s["fetch"].append(tf1 - tf0)
+        self.phase_s["unpack"].append(time.perf_counter() - tf1)
         sx, sy = self._det_scale
         now = time.perf_counter()
         tracks = None
+        tt0 = time.perf_counter()
+        show_batch = getattr(self.display, "show_batch", None)
+        if show_batch is not None:
+            show_batch(comps[:n])          # one bulk handover, no copies
         for i in range(n):
             rows = []
             for row, ok in zip(dets[i], mask[i]):
@@ -392,8 +413,10 @@ class FusedSensorStage(Stage):
             tracks, kept = self.tracker.step_with_detections(
                 cam_frames[i], rows)
             self._rect_conf = _rect_conf(tracks, kept, self._rect_conf)
-            self.display.show(comps[i])
+            if show_batch is None:
+                self.display.show(comps[i])
             self.latency_ms.append((now - t_ready[i]) * 1e3)
+        self.phase_s["track"].append(time.perf_counter() - tt0)
         # boxes for the NEXT batch's composite (one-batch staleness)
         boxes = np.full_like(self._boxes, -100.0)
         if tracks is not None and len(tracks):
@@ -451,7 +474,10 @@ class FusedSensorStage(Stage):
         next_seq = 1
         try:
             while not self.stop_event.is_set():
+                tc0 = time.perf_counter()
                 items = self._collect()
+                self.phase_s["collect"].append(
+                    time.perf_counter() - tc0)
                 if not items:
                     continue
                 t_ready = [time.perf_counter()] * len(items)
@@ -489,4 +515,8 @@ class FusedSensorStage(Stage):
             "latency_p95_ms": round(float(np.percentile(lat, 95)), 2)
             if lat.size else None,
             "light": self.light, "conf": self.conf,
+            # p50 seconds per batch per leg — which leg is the bottleneck
+            "phase_p50_ms": {
+                k: round(float(np.percentile(v, 50)) * 1e3, 1)
+                for k, v in self.phase_s.items() if v},
         }

@@ -95,10 +95,19 @@ class SceneCamera:
     ``train.pretrained_demo_detector`` the whole sensor-fusion chain
     (detect -> SORT -> decider -> ``focus_beam`` steering) runs live on
     real detections.  ``last_box`` exposes the ground-truth
-    ``[x1, y1, x2, y2]`` of the most recent frame for tests."""
+    ``[x1, y1, x2, y2]`` of the most recent frame for tests.
+
+    ``prerender`` > 0 renders that many frames up front and serves them
+    cyclically: ``read()`` becomes a list index — the paint cost (~3 ms
+    of numpy per 240x320 frame) stops competing for the 1-vCPU host's
+    GIL with the realtime pipeline threads.  That is also the
+    reference-faithful cost model: a webcam read is a V4L2 buffer
+    memcpy, not a per-frame software paint.  (1260 = lcm of the two
+    Lissajous periods, so the cycle is seamless.)"""
 
     def __init__(self, size: Tuple[int, int] = (240, 320),
-                 cls_id: int = 0, obj_frac: float = 0.35, seed: int = 5):
+                 cls_id: int = 0, obj_frac: float = 0.35, seed: int = 5,
+                 prerender: int = 0):
         h, w = size
         rng = np.random.default_rng(seed)
         low = rng.random((8, 8, 3)).astype(np.float32) * 0.4
@@ -111,8 +120,16 @@ class SceneCamera:
         self._ow = int(obj_frac * min(h, w))
         self.i = 0
         self.last_box = [0, 0, 0, 0]
+        self._frames = self._boxes = None
+        if prerender:
+            self._frames, self._boxes = [], []
+            for _ in range(prerender):
+                _, f = self._render()
+                self._frames.append(f)
+                self._boxes.append(list(self.last_box))
+            self.i = 0
 
-    def read(self):
+    def _render(self):
         h, w = self.size
         img = self._bg.copy()
         t = self.i
@@ -125,3 +142,11 @@ class SceneCamera:
         _paint_object(img, x1, y1, ow, ow, self.cls_id, self._color)
         self.last_box = [x1, y1, x1 + ow, y1 + ow]
         return True, (img * 255).astype(np.uint8)
+
+    def read(self):
+        if self._frames is not None:
+            j = self.i % len(self._frames)
+            self.i += 1
+            self.last_box = self._boxes[j]
+            return True, self._frames[j]
+        return self._render()

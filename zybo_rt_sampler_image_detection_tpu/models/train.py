@@ -135,6 +135,8 @@ class Trainer:
             params = optax.apply_updates(params, updates)
             return {"params": params, "batch_stats": new_bs}, opt_state, loss
 
+        self._step_fn = step          # unjitted core (reused by the
+        #                               scan-chunk recipe runner below)
         if self.mesh is not None:
             dp = NamedSharding(self.mesh, P("data"))
             rep = NamedSharding(self.mesh, P())
@@ -251,6 +253,190 @@ def pretrained_demo_detector(cache_path: Optional[str] = None,
     return det
 
 
+def train_reference_recipe(steps: int = 3000, batch_size: int = 16,
+                           size: int = 416, width: float = 1.0,
+                           num_classes: int = 3,
+                           learning_rate: float = 1e-3, seed: int = 0,
+                           pool_batches: int = 128,
+                           chunk_steps: int = 250,
+                           eval_images: int = 192,
+                           map_gate: float = 0.9,
+                           conf_threshold: float = 0.05,
+                           weights_out: Optional[str] = None,
+                           progress=print) -> dict:
+    """Train at the REFERENCE operating point: 416 px, full width,
+    multi-class (the reference deployed full Ultralytics at this input
+    size, ``image-detection/src/yolo_smooth_tracking.py:9-23``; its
+    weights blob is missing upstream so quality is gated on the
+    exact-label synthetic task instead — mAP@0.5 >= ``map_gate`` on a
+    held-out set).
+
+    Tunnel-native training loop: the data pool lives ON DEVICE as uint8
+    (one upload) with pre-built targets, and training advances in
+    ``lax.scan`` chunks of ``chunk_steps`` — ONE dispatch per chunk
+    instead of one per step, so the ~40 ms per-call tunnel latency is
+    amortized ~``chunk_steps``x.  Each scan step gathers its batch from
+    the pool by a host-shuffled index (with replacement), normalizes
+    u8 -> f32 on device, and runs the same ``Trainer`` step core the
+    per-step API jits, so the two paths cannot drift (gated by
+    ``tests/test_vision.py::test_scan_chunk_matches_per_step``).
+
+    Returns a report dict: device step throughput (steps/s and img/s,
+    measured over a timed chunk AFTER warmup), final loss, per-class
+    AP@0.5 and mAP on the held-out set, and the gate verdict.
+    """
+    import time
+
+    from . import data, eval as eval_mod
+    from .detect import YoloDetector, save_weights
+
+    cfg = YoloConfig(input_size=size, width_mult=width,
+                     num_classes=num_classes)
+    trainer = Trainer(cfg, learning_rate=learning_rate, seed=seed)
+    rng = np.random.default_rng(seed + 1)
+
+    # -- device-resident pool (uint8 images + prebuilt per-head targets)
+    t0 = time.perf_counter()
+    imgs_np = np.empty((pool_batches, batch_size, size, size, 3),
+                       np.uint8)
+    n_heads = len(cfg.anchors)
+    tgts_np, msks_np = None, None
+    for p in range(pool_batches):
+        images, boxes = data.synthetic_detection_batch(
+            rng, batch_size, size, num_classes=num_classes)
+        imgs_np[p] = (images * 255.0).astype(np.uint8)
+        tm = build_targets(cfg, boxes)
+        if tgts_np is None:
+            tgts_np = [np.empty((pool_batches,) + t.shape, np.float32)
+                       for t, _ in tm]
+            msks_np = [np.empty((pool_batches,) + m.shape, np.float32)
+                       for _, m in tm]
+        for hi, (t, m) in enumerate(tm):
+            tgts_np[hi][p] = t
+            msks_np[hi][p] = m
+    gen_s = time.perf_counter() - t0
+    progress(f"pool: {pool_batches}x{batch_size} images at {size}px "
+             f"generated in {gen_s:.1f}s "
+             f"({imgs_np.nbytes / 1e6:.0f} MB)")
+    pool = jnp.asarray(imgs_np)
+    targets = tuple(jnp.asarray(t) for t in tgts_np)
+    masks = tuple(jnp.asarray(m) for m in msks_np)
+
+    step_core = trainer._step_fn
+
+    def chunk(state_vars, opt_state, pool, targets, masks, idxs):
+        def body(carry, i):
+            sv, os_ = carry
+            imgs = pool[i].astype(jnp.float32) / 255.0
+            tgt = tuple(t[i] for t in targets)
+            msk = tuple(m[i] for m in masks)
+            sv, os_, loss = step_core(sv, os_, imgs, tgt, msk)
+            return (sv, os_), loss
+        (state_vars, opt_state), losses = jax.lax.scan(
+            body, (state_vars, opt_state), idxs)
+        return state_vars, opt_state, losses
+
+    donate = (0, 1) if jax.default_backend() != "cpu" else ()
+    chunk_jit = jax.jit(chunk, donate_argnums=donate)
+
+    sv, os_ = trainer.state.variables, trainer.state.opt_state
+    done = 0
+    losses_tail = None
+    throughput = None
+    t_train0 = time.perf_counter()
+    while done < steps:
+        n = min(chunk_steps, steps - done)
+        idxs = jnp.asarray(rng.integers(0, pool_batches, n), jnp.int32)
+        t0 = time.perf_counter()
+        sv, os_, losses = chunk_jit(sv, os_, pool, targets, masks, idxs)
+        losses_tail = np.asarray(losses)       # sync
+        dt = time.perf_counter() - t0
+        done += n
+        # the timed-throughput chunk: first full-size chunk AFTER the
+        # compile+warmup chunk (its dt includes tracing/compile)
+        if throughput is None and done > chunk_steps and n == chunk_steps:
+            throughput = n / dt
+        progress(f"step {done}/{steps}: loss {losses_tail[-1]:.4f} "
+                 f"({n / dt:.1f} steps/s)")
+    train_s = time.perf_counter() - t_train0
+    trainer.state = TrainState(variables=sv, opt_state=os_, step=done)
+
+    det = YoloDetector(cfg=cfg)
+    det.variables = jax.tree.map(np.asarray, sv)
+    if weights_out:
+        save_weights(weights_out, det.variables)
+
+    # -- held-out eval (fresh seed), batched device inference
+    rng_eval = np.random.default_rng(seed + 10_007)
+    aps_dets, aps_gts = [], []
+    eb = min(32, eval_images)
+    for _ in range(-(-eval_images // eb)):
+        images, boxes = data.synthetic_detection_batch(
+            rng_eval, eb, size, num_classes=num_classes)
+        frames = [(im * 255).astype(np.uint8) for im in images]
+        dets = det.get_detections_batch(frames, conf_threshold,
+                                        include_class=True)
+        aps_dets += [np.asarray(d, np.float64).reshape(-1, 6)
+                     for d in dets]
+        aps_gts += [np.asarray(b, np.float64).reshape(-1, 5)
+                    for b in boxes]
+    aps, map50 = eval_mod.per_class_average_precision(
+        aps_dets, aps_gts, num_classes)
+    report = {
+        "size": size, "width": width, "num_classes": num_classes,
+        "steps": steps, "batch_size": batch_size,
+        "train_s": round(train_s, 1),
+        "steps_per_s": round(throughput, 2) if throughput else None,
+        "imgs_per_s": round(throughput * batch_size, 1)
+        if throughput else None,
+        "final_loss": round(float(losses_tail[-1]), 4),
+        "aps": [round(a, 4) for a in aps],
+        "map50": round(map50, 4),
+        "map_gate": map_gate,
+        "gate_ok": bool(map50 >= map_gate),
+        "backend": jax.default_backend(),
+    }
+    progress(f"held-out mAP@0.5 = {map50:.4f} (per-class "
+             f"{[f'{a:.3f}' for a in aps]}) gate >= {map_gate}: "
+             f"{'OK' if report['gate_ok'] else 'FAIL'}")
+    return report
+
+
+def main(argv=None):
+    """CLI for the reference-operating-point recipe:
+    ``python -m zybo_rt_sampler_image_detection_tpu.models.train``.
+    Exits nonzero if the held-out mAP gate fails."""
+    import argparse
+    import json
+    import sys
+
+    ap = argparse.ArgumentParser(description=train_reference_recipe.__doc__)
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--size", type=int, default=416)
+    ap.add_argument("--width", type=float, default=1.0)
+    ap.add_argument("--classes", type=int, default=3)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--pool", type=int, default=128,
+                    help="device-resident pool size (batches)")
+    ap.add_argument("--chunk", type=int, default=250,
+                    help="lax.scan steps per dispatch")
+    ap.add_argument("--eval-images", type=int, default=192)
+    ap.add_argument("--gate", type=float, default=0.9)
+    ap.add_argument("--out", default="",
+                    help="weights .pkl output path")
+    args = ap.parse_args(argv)
+    report = train_reference_recipe(
+        steps=args.steps, batch_size=args.batch, size=args.size,
+        width=args.width, num_classes=args.classes,
+        learning_rate=args.lr, seed=args.seed, pool_batches=args.pool,
+        chunk_steps=args.chunk, eval_images=args.eval_images,
+        map_gate=args.gate, weights_out=args.out or None)
+    print(json.dumps(report))
+    sys.exit(0 if report["gate_ok"] else 1)
+
+
 def dryrun_train_step(mesh: Mesh) -> float:
     """One DP-sharded training step on tiny shapes (used by
     ``__graft_entry__.dryrun_multichip``)."""
@@ -263,3 +449,7 @@ def dryrun_train_step(mesh: Mesh) -> float:
     loss = trainer.train_step(images, boxes)
     assert np.isfinite(loss)
     return loss
+
+
+if __name__ == "__main__":
+    main()

@@ -360,6 +360,13 @@ class ArrayDisplay:
         if len(self.frames) > self.keep:
             self.frames.pop(0)
 
+    def show_batch(self, imgs):
+        """Append a whole (K, H, W, 3) batch the caller relinquishes —
+        no per-frame copy (the fused stage hands over a freshly unpacked
+        buffer it never touches again)."""
+        self.frames.extend(np.asarray(imgs))
+        del self.frames[:-self.keep]
+
 
 class ArrayCapture:
     """Headless camera replaying a list of frames."""
