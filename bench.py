@@ -388,6 +388,11 @@ def main(smoke: bool = False) -> None:
         assert 16 <= carry_max < 4 * Kb        # d0 re-measured mid-epoch
 
     def mvdr_epoch(st):
+        # the make_mvdr_stream production cadence (separate exact
+        # refresh; round 5 replaced its factorization with the unrolled
+        # complex potri — no XLA While — measured 21.9 -> 8.5 ms.  The
+        # scan+refresh FUSION was implemented and measured NEGATIVE:
+        # 1,770 vs 1,978 maps/s — see freq.mvdr_maps_scan_refresh)
         maps = None
         dq, dqc = None, 0
         for blk in fr_blks:

@@ -719,3 +719,65 @@ def test_mvdr_listen_step_recovers_steered_source(tiny_cfg):
     for i in range(3):
         c = np.corrcoef(np.asarray(beams[i]), frames[i][active[0]])[0, 1]
         assert abs(c) > 0.6, f"frame {i}: corr {c:.3f}"
+
+
+def test_invert_hermitian_unrolled_matches_embedding(rng):
+    """The unrolled complex potri (round 5 — replaces the embedding
+    path whose jnp.linalg.cholesky While loop was the refresh wall)
+    must match the embedding inverse in the same cond*eps class and the
+    float64 truth."""
+    F, M = 3, 48                      # odd-split + leaf sizes exercised
+    C = (rng.standard_normal((F, M, 2 * M))
+         + 1j * rng.standard_normal((F, M, 2 * M)))
+    R = np.einsum("fmk,fnk->fmn", C, C.conj()) / (2 * M)
+    R += 0.05 * np.eye(M)
+    Rr = np.ascontiguousarray(R.real).astype(np.float32)
+    Ri = np.ascontiguousarray(R.imag).astype(np.float32)
+    Pr, Pi = freq.invert_hermitian_unrolled(Rr, Ri, leaf=16)
+    P = np.asarray(Pr) + 1j * np.asarray(Pi)
+    truth = np.linalg.inv(R)
+    scale = abs(truth).max()
+    assert abs(P - truth).max() / scale < 5e-5
+    P0r, P0i = freq.invert_hermitian(Rr, Ri)
+    P0 = np.asarray(P0r) + 1j * np.asarray(P0i)
+    assert abs(P - P0).max() / scale < 5e-5
+
+
+def test_mvdr_maps_scan_refresh_negative_artifact(tiny_cfg, rng):
+    """freq.mvdr_maps_scan_refresh is the MEASURED-NEGATIVE overlap
+    experiment kept as an artifact (see its docstring): its maps must
+    be bit-identical to mvdr_maps_scan and its refreshed state must
+    agree with refresh(post-block state) to the one-Woodbury-hop f32
+    class it documents."""
+    cfg = tiny_cfg
+    t = freq.make_freq_tables(cfg, 100.0)
+    B, alpha = 16, 0.9
+    st1 = freq.init_precision(t)
+    for i in range(4):      # enough history that cov is full-rank
+        blk = rng.standard_normal(
+            (B, cfg.n_microphones, cfg.n_samples)).astype(np.float32) * 0.1
+        if i < 3:
+            _, st1 = freq.mvdr_maps_scan(st1, blk, t)
+    m_ref, st2, _ = freq.mvdr_maps_scan(st1, blk, t, return_d=True)
+    m_new, st3, _ = freq.mvdr_maps_scan_refresh(st1, blk, t)
+    np.testing.assert_array_equal(np.asarray(m_new), np.asarray(m_ref))
+    np.testing.assert_allclose(np.asarray(st3.cov.R_re),
+                               np.asarray(st2.cov.R_re), rtol=1e-6,
+                               atol=1e-7)
+    # the refreshed+advanced P carries the PRE-block loading decayed by
+    # alpha^B (the recursion decays loading by design; refresh
+    # re-anchors it — see the Newton-Schulz negative result): gate
+    # against the float64 model inv(R_post + alpha^B * load_pre * I)
+    M = cfg.n_microphones
+    R_pre = (np.asarray(st1.cov.R_re, np.float64)
+             + 1j * np.asarray(st1.cov.R_im, np.float64))
+    load_pre = (st1.load * np.einsum("fmm->f", R_pre.real) / M + 1e-12)
+    R_post = (np.asarray(st3.cov.R_re, np.float64)
+              + 1j * np.asarray(st3.cov.R_im, np.float64))
+    eye = np.eye(M)
+    truth = np.linalg.inv(
+        R_post + (alpha ** B * load_pre)[:, None, None] * eye)
+    got = (np.asarray(st3.P_re, np.float64)
+           + 1j * np.asarray(st3.P_im, np.float64))
+    scale = abs(truth).max()
+    assert abs(got - truth).max() / scale < 2e-3

@@ -61,7 +61,7 @@ def test_fused_program_parity(stage_and_inputs):
     s, cfg, tables, comp, det, mic, cams, boxes = stage_and_inputs
     s._boxes = boxes
     out = s._launch(mic.copy(), cams, s.batch)
-    comps, dets, mask, cls_ids, metas = s._unpack(np.asarray(out))
+    comps, dets, mask, cls_ids, metas, _ = s._unpack(np.asarray(out))
 
     # 1) composite parity: DeviceCompositor on the separately computed
     # powers must produce byte-identical frames

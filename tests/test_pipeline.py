@@ -360,6 +360,58 @@ def test_web_fullrate_optin():
         server.camera.stop()
 
 
+def test_web_fused_optin():
+    """?fused=1 backs the MJPEG stream with FusedSensorStage composites
+    (one packed device program per batch) and /metrics exposes the
+    cycle's phase breakdown (VERDICT r4 #8)."""
+    import json
+
+    cfg = zrt.Config.tiny().replace(udp_port=21934)
+    frames = _source_frames(cfg, 4, 3, n=3000)
+    streamer.stream_in_background(cfg, frames, n_arrays=1, delay=0.5,
+                                  exact_reference=False,
+                                  rate=2 * cfg.sample_rate)
+    from zybo_rt_sampler_image_detection_tpu.apps.web import make_server
+    from zybo_rt_sampler_image_detection_tpu.models.detect import (
+        YoloDetector,
+    )
+    from zybo_rt_sampler_image_detection_tpu.models.yolo import YoloConfig
+    server = make_server(cfg, replay=True, port=0, headless_camera=True)
+    # hermetic: a tiny untrained detector instead of the cached
+    # quick-pretrained one (the route only needs the program to run)
+    server.camera.detector_factory = lambda: YoloDetector(
+        cfg=YoloConfig(input_size=64, width_mult=0.25))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/enableBackend1?fused=1",
+            timeout=120).read()
+        assert server.camera._fused_stage is not None
+        deadline = time.time() + 20
+        rep = {}
+        while time.time() < deadline:
+            rep = json.loads(urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/metrics", timeout=5).read())
+            if rep.get("fused", {}).get("frames", 0) > 0:
+                break
+            time.sleep(0.3)
+        assert rep.get("fused", {}).get("frames", 0) > 0
+        assert "phase_p50_ms" in rep["fused"]
+        # the MJPEG stream serves the device composites
+        req = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/monitor", timeout=15)
+        data = req.read(40000)
+        assert b"\xff\xd8" in data           # JPEG SOI marker
+        req.close()
+    finally:
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/disconnect", timeout=10).read()
+        server.shutdown()
+        server.camera.stop()
+
+
 def test_record_udp_to_pcap(tmp_path):
     """UDP wire capture -> pcap + timestamp CSV (record_udp parity)."""
     import csv

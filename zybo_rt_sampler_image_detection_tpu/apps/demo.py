@@ -397,13 +397,18 @@ def cmd_sensorfusion(args):
     camera -> YOLO tracker, receiver -> heatmap, fused by the decider; the
     composited frames go to an mp4 (and a window unless --headless).
 
-    ``--composite device`` (the default) runs the whole display chain —
-    log-norm, jet-LUT colorize, resizes, power box, EMA, the decider's
-    gating and blends — as ONE batched device program
-    (``fusion.composite.DeviceCompositor``); the host only uploads
-    camera frames + track boxes and downloads finished composites.
-    ``--composite host`` keeps the reference-shaped host chain
-    (``utils.viz.Viewer`` + ``SensorFusionDecider``) for comparison."""
+    ``--composite fused`` (the default) folds the WHOLE display cycle —
+    steered power, YOLO forward, and the display chain (log-norm,
+    jet-LUT colorize, resizes, power box, EMA, decider gating/blends) —
+    into ONE packed device program per K-frame batch (3 RPCs/batch,
+    ``apps.fused.FusedSensorStage``); ``--listen time|mvdr``
+    additionally emits the gapless steered-listening beam in the same
+    packed download.  ``--composite device`` runs just the display
+    chain as one batched device program
+    (``fusion.composite.DeviceCompositor``) with separate heatmap /
+    tracker stages; ``--composite host`` keeps the reference-shaped
+    host chain (``utils.viz.Viewer`` + ``SensorFusionDecider``) for
+    comparison."""
     from ..models.detect import YoloDetector
     from ..models.yolo import YoloConfig
     from ..utils.viz import ArrayDisplay, Viewer
@@ -411,7 +416,12 @@ def cmd_sensorfusion(args):
 
     device_comp = args.composite == "device"
     fused_comp = args.composite == "fused"
-    p = _make_pipeline(args)
+    # embedded listening reads counter-contiguous mic batches of
+    # mic_batch (default 4x the composite batch): the ring must hold a
+    # few cycles' worth or read_batch rejects the batch size outright
+    mic_batch = (args.mic_batch or 4 * args.composite_batch) \
+        if (fused_comp and args.listen != "off") else 0
+    p = _make_pipeline(args, ring_frames=max(64, 4 * mic_batch))
     p.connect()
     if fused_comp:
         # the fused stage owns the heatmap path.  The default q_yolo
@@ -485,6 +495,13 @@ def cmd_sensorfusion(args):
         # rows are never written) — same policy as demo fullrate
         n_ch = (p.receiver.n_arrays
                 or p.cfg.active_arrays) * p.cfg.rows * p.cfg.columns
+        listen = None if args.listen == "off" else args.listen
+        a_sink = None
+        if listen:
+            from ..utils import audio as audio_mod
+            a_sink = audio_mod.make_sink(args.audio or "mock",
+                                         p.cfg.sample_rate,
+                                         args.audio_out)
         stage = FusedSensorStage(
             p.receiver, p.tables, compositor, det, p.q_yolo, disp,
             p.metrics, batch=args.composite_batch,
@@ -492,7 +509,12 @@ def cmd_sensorfusion(args):
             transfer=args.transfer,
             display_transport=args.display_transport,
             steer_cb=lambda h, v: p.steer_cartesian_degree(h, v),
-            tracker_kwargs=tkw or None)
+            tracker_kwargs=tkw or None,
+            listen=listen, audio_sink=a_sink,
+            mic_batch=args.mic_batch)
+        if listen:
+            # click/focus_beam steering reaches the embedded beam
+            p._miso = stage
         print("compiling fused sensor stage ...")
         t0 = time.time()
         stage.warmup()
@@ -684,6 +706,21 @@ def main(argv=None):
                         "SensorFusionDecider)")
     p.add_argument("--composite-batch", type=int, default=16,
                    help="frames per device composite launch")
+    p.add_argument("--listen", default="off",
+                   choices=["off", "time", "mvdr"],
+                   help="--composite fused: fold gapless steered "
+                        "LISTENING into the same packed program — the "
+                        "beam rides the packed download, the loop flips "
+                        "to counter-contiguous mic batches (the whole "
+                        "combined product in 3 RPCs/batch)")
+    p.add_argument("--audio", default=None,
+                   help="audio sink for --listen (null|wav|sounddevice|"
+                        "mock; default mock = deadline-counting playback "
+                        "device)")
+    p.add_argument("--audio-out", default="sensorfusion_miso.wav")
+    p.add_argument("--mic-batch", type=int, default=0,
+                   help="mic frames per fused cycle for --listen "
+                        "(0 = 4x composite batch)")
     p.add_argument("--heatmap-rate", type=float, default=100.0,
                    help="cap the batched heatmap stage at N maps/s (0 = "
                         "line rate); display needs ~2x viewer fps and an "

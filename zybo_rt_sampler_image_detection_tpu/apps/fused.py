@@ -41,6 +41,7 @@ every-frame imaging contract lives in ``BatchedHeatmapProducer``.
 from __future__ import annotations
 
 import queue
+import threading
 import time
 from typing import Optional
 
@@ -50,8 +51,15 @@ import numpy as np
 
 from ..fusion.composite import DeviceCompositor, _axis_tables
 from ..fusion.decider import SensorFusionDecider
+from ..ops import beamform
 from ..utils.metrics import PipelineMetrics
-from .pipeline import Stage, _pad_full, _power_program_parts, _rect_conf
+from .pipeline import (
+    AudioLeg,
+    Stage,
+    _pad_full,
+    _power_program_parts,
+    _rect_conf,
+)
 
 
 def _bitcast_to_f32(x_u8: jax.Array, shape) -> jax.Array:
@@ -186,7 +194,9 @@ class FusedSensorStage(Stage):
                  metrics: PipelineMetrics, batch: int = 16,
                  channels: int = 0, steer_cb=None,
                  transfer: str = "f32", display_transport: str = "rgb",
-                 tracker_kwargs: Optional[dict] = None):
+                 tracker_kwargs: Optional[dict] = None,
+                 listen: Optional[str] = None, audio_sink=None,
+                 mic_batch: int = 0, alpha: float = 0.9):
         super().__init__("fused", metrics)
         if not compositor.max_tracks:
             raise ValueError("FusedSensorStage needs a boxes-mode "
@@ -240,17 +250,66 @@ class FusedSensorStage(Stage):
         self.decider = SensorFusionDecider(display_size=(Wc, Hc))
         self._rect_conf = [[0, 0], [0, 0], 0.0]
 
+        # -- embedded listening (VERDICT r4 #2): the whole product in the
+        # same 3 RPCs.  The mic batch is already uploaded for the display
+        # powers; `listen` additionally emits the steered listening beam
+        # in the packed download (K·N floats — noise next to the
+        # composites).  The loop driver flips from camera-paced
+        # latest-batch display reads to COUNTER-CONTIGUOUS mic batches of
+        # ``mic_batch`` (display still pairs cameras with the newest K
+        # frames), so the audio stream is gapless at line rate exactly
+        # like BatchedMisoProducer (ring overwrites zero-filled + counted
+        # as underruns).  "time" = delay-and-sum through this stage's
+        # tables + the reference gain chain (api.c:517-522); "mvdr" = the
+        # adaptive distortionless beam, state/refresh cadence SHARED with
+        # every other MVDR site via make_mvdr_stream's state machine.
+        # Ref: main.pyx:279-380 (the combined mimo+miso loops).
+        if listen not in (None, "time", "mvdr"):
+            raise ValueError(f"unknown listen backend {listen!r}")
+        self.listen = listen
+        self.alpha = alpha
+
         # geometry (all static)
         self.n_full = receiver.cfg.n_microphones
         self.n_samples = receiver.cfg.n_samples
         self.mc = self.channels or self.n_full
+        # mic frames per cycle: with listening the cycle must drain the
+        # ring at line rate (~190.7/s) while display cycles run at
+        # camera pace — default 4x the display batch
+        self.Km = int(mic_batch) or (4 * self.batch if listen
+                                     else self.batch)
+        if not listen:
+            self.Km = self.batch        # display-only: one frame per cam
         K, Mc, N = self.batch, self.mc, self.n_samples
+        Km = self.Km
         T = compositor.max_tracks
         cam_bytes = (K * Hc * Wc * 3 if display_transport == "rgb"
                      else K * (Hc * 3 // 2) * Wc)
         self._sizes = dict(
-            mic=K * Mc * N * self._mic_bytes, cams=cam_bytes,
+            mic=Km * Mc * N * self._mic_bytes, cams=cam_bytes,
             boxes=T * 5 * 4)
+
+        self.audio = None
+        self._mvdr = None
+        self._miso_tables = None
+        if listen:
+            from ..utils import audio as audio_mod
+            cfg = receiver.cfg
+            if audio_sink is None:
+                audio_sink = audio_mod.NullSink()
+            if listen == "time":
+                self._miso_tables = tables
+                n_mics = tables.n_mics
+                post_fn = lambda b: audio_mod.miso_gain(   # noqa: E731
+                    b, n_mics, cfg.mic_gain, cfg.norm_factor_sound)
+            else:
+                from .pipeline import make_mvdr_stream
+                # the shared MVDR state machine: we run the device step
+                # inside our packed program but the state dict, refresh
+                # cadence and reset/precompile are make_mvdr_stream's
+                self._mvdr = make_mvdr_stream(cfg, "beams", alpha=alpha)
+                post_fn = lambda b: b                      # noqa: E731
+            self.audio = AudioLeg(audio_sink, post_fn, self.n_samples)
         S = detector.cfg.input_size
         # detector preprocess resize moved ON DEVICE (the host path
         # resizes with cv2 INTER_LINEAR / the align-corners fallback —
@@ -263,10 +322,15 @@ class FusedSensorStage(Stage):
         self._det_scale = (Wc / S, Hc / S)
 
         self._tr, self._power_extra = _power_program_parts(tables)
-        donate = (0, 1) if jax.default_backend() != "cpu" else ()
+        donate: tuple = (0, 1) if jax.default_backend() != "cpu" else ()
+        if donate and self._mvdr is not None:
+            donate = (0, 1, 2)          # the carried precision state too
         self._jit = jax.jit(self._run, donate_argnums=donate)
         self._prev = None
         self._boxes = np.full((T, 5), -100.0, np.float32)
+        self._direction = 0
+        self._dir_lock = threading.Lock()
+        self._last_cams = np.zeros((K, Hc, Wc, 3), np.uint8)
         # output layout
         Ww, Hw = compositor.window
         md = detector.max_det
@@ -275,21 +339,25 @@ class FusedSensorStage(Stage):
         self._out_sizes = dict(
             comps=comp_bytes, dets=K * md * 5 * 4, mask=K * md,
             cls=K * md * 4, meta=K * len(DeviceCompositor.META_FIELDS) * 4)
+        if listen:
+            self._out_sizes["beams"] = Km * N * 4
 
     # -- device program -------------------------------------------------------
 
-    def _run(self, packed, prev, count, ct, det_t, variables, *extra):
+    def _run(self, packed, prev, lst, mt, d, count, ct, det_t, variables,
+             *extra):
         K, Mc, N = self.batch, self.mc, self.n_samples
+        Km = self.Km
         Hc, Wc = self.comp.cam_shape
         T = self.comp.max_tracks
         sz = self._sizes
         o = 0
         if self._mic_bytes == 2:
             mic = jax.lax.bitcast_convert_type(
-                packed[o:o + sz["mic"]].reshape(K, Mc, N, 2),
+                packed[o:o + sz["mic"]].reshape(Km, Mc, N, 2),
                 jnp.float16).astype(jnp.float32)
         else:
-            mic = _bitcast_to_f32(packed[o:o + sz["mic"]], (K, Mc, N))
+            mic = _bitcast_to_f32(packed[o:o + sz["mic"]], (Km, Mc, N))
         o += sz["mic"]
         if self.display_transport == "yuv420":
             cams = _dev_i420_to_bgr(
@@ -300,7 +368,17 @@ class FusedSensorStage(Stage):
         o += sz["cams"]
         boxes = _bitcast_to_f32(packed[o:o + sz["boxes"]], (T, 5))
 
-        powers = self._tr(_pad_full(mic, self.n_full), *extra)
+        mic_p = _pad_full(mic, self.n_full)
+        # display pairs camera frames with the NEWEST K mic frames of the
+        # (possibly larger, counter-contiguous) listening batch
+        powers = self._tr(mic_p[-K:] if Km != K else mic_p, *extra)
+        beams, lst2 = None, lst
+        if self.listen == "time":
+            beams = beamform.miso_beam(mic_p, mt, d)
+        elif self.listen == "mvdr":
+            from ..ops import freq
+            beams, lst2 = freq.mvdr_listen_step(lst, mic_p, mt, d,
+                                                alpha=self.alpha)
 
         # detector: device resize (bilinear, host-convention tables) then
         # the batched forward — detections come back in SxS input pixels
@@ -321,14 +399,22 @@ class FusedSensorStage(Stage):
                                              count, ct)
         if self.display_transport == "yuv420":
             comps = _bgr_to_i420(comps)
-        out = jnp.concatenate([
+        parts = [
             comps.reshape(-1),
             _bitcast_to_u8(dets.astype(jnp.float32)),
             mask.astype(jnp.uint8).reshape(-1),
             _bitcast_to_u8(cls_ids.astype(jnp.int32)),
             _bitcast_to_u8(metas.astype(jnp.float32)),
-        ])
-        return out, prev2
+        ]
+        if beams is not None:
+            parts.append(_bitcast_to_u8(beams.astype(jnp.float32)))
+        return jnp.concatenate(parts), prev2, lst2
+
+    def steer(self, direction: int):
+        """Steer the embedded listening beam (``api.c:576-581``): a
+        traced argument of the next packed launch — live, no recompile."""
+        with self._dir_lock:
+            self._direction = int(direction)
 
     def _launch(self, mic, cams, n):
         t0 = time.perf_counter()
@@ -342,13 +428,24 @@ class FusedSensorStage(Stage):
             np.ascontiguousarray(self._boxes).view(np.uint8).reshape(-1)])
         if self._prev is None:
             self._prev = self.comp.init_prev()
+        with self._dir_lock:
+            d = self._direction
+        if self._mvdr is not None:
+            lst, mt = self._mvdr.state["p"], self._mvdr.tables
+        else:
+            lst, mt = None, self._miso_tables
         t1 = time.perf_counter()
         packed_dev = jax.device_put(packed)
         t2 = time.perf_counter()
-        out, self._prev = self._jit(
-            packed_dev, self._prev, jnp.int32(n),
+        out, self._prev, lst2 = self._jit(
+            packed_dev, self._prev, lst, mt, jnp.int32(d), jnp.int32(n),
             self.comp.tables, self._det_tables, self.detector.variables,
             *self._power_extra)
+        if self._mvdr is not None:
+            # the shared MVDR state machine: commit the post-batch state,
+            # then advance its alpha-aware exact-refresh cadence
+            self._mvdr.state["p"] = lst2
+            self._mvdr.tick(self.Km)
         t3 = time.perf_counter()
         self.phase_s["pack"].append(t1 - t0)
         self.phase_s["put"].append(t2 - t1)
@@ -358,9 +455,11 @@ class FusedSensorStage(Stage):
     def warmup(self):
         K, Mc, N = self.batch, self.mc, self.n_samples
         Hc, Wc = self.comp.cam_shape
-        mic = np.zeros((K, Mc, N), np.float32)
+        mic = np.zeros((self.Km, Mc, N), np.float32)
         cams = np.zeros((K, Hc, Wc, 3), np.uint8)
         np.asarray(self._launch(mic, cams, 1))
+        if self._mvdr is not None:
+            self._mvdr.reset()     # drop warmup pollution + precompile
 
     # -- host side ------------------------------------------------------------
 
@@ -385,17 +484,27 @@ class FusedSensorStage(Stage):
         o += sz["cls"]
         metas = host_u8[o:o + sz["meta"]].view(np.float32) \
             .reshape(K, len(DeviceCompositor.META_FIELDS))
-        return comps, dets, mask, cls_ids, metas
+        o += sz["meta"]
+        beams = None
+        if self.listen:
+            beams = host_u8[o:o + sz["beams"]].view(np.float32) \
+                .reshape(self.Km, self.n_samples)
+        return comps, dets, mask, cls_ids, metas, beams
 
     def _finish(self, pending):
-        out_dev, n, cam_frames, t_ready, t0 = pending
+        out_dev, n, cam_frames, t_ready, t0, skipped, stamps = pending
         tf0 = time.perf_counter()
         host = np.asarray(out_dev)          # ONE packed D2H per batch
         tf1 = time.perf_counter()
         self.metric.tick(tf1 - t0)
-        comps, dets, mask, cls_ids, metas = self._unpack(host)
+        comps, dets, mask, cls_ids, metas, beams = self._unpack(host)
+        if self.audio is not None:
+            # gapless contract first: audio must not wait on display work
+            self.audio.write(beams, skipped, stamps)
         self.phase_s["fetch"].append(tf1 - tf0)
         self.phase_s["unpack"].append(time.perf_counter() - tf1)
+        if n == 0:                  # listening cycle with no camera frame
+            return
         sx, sy = self._det_scale
         now = time.perf_counter()
         tracks = None
@@ -475,11 +584,32 @@ class FusedSensorStage(Stage):
         try:
             while not self.stop_event.is_set():
                 tc0 = time.perf_counter()
-                items = self._collect()
+                if self.listen:
+                    # mic-driven cycle (gapless listening): block for the
+                    # next counter-contiguous Km frames, then composite
+                    # however many camera frames are queued (0..K)
+                    try:
+                        res = self.receiver.read_batch(
+                            self.Km, next_seq, timeout=0.5,
+                            channels=self.channels, with_stamps=True)
+                    except TimeoutError:
+                        continue
+                    mic, first, skipped, stamps = res
+                    if mic is None:
+                        continue
+                    next_seq = first + self.Km
+                    items = []
+                    while len(items) < self.batch:
+                        try:
+                            items.append(self.q_cam.get_nowait())
+                        except queue.Empty:
+                            break
+                else:
+                    items = self._collect()
+                    if not items:
+                        continue
                 self.phase_s["collect"].append(
                     time.perf_counter() - tc0)
-                if not items:
-                    continue
                 t_ready = [time.perf_counter()] * len(items)
                 cam_frames = []
                 for _no, fr in items:
@@ -487,28 +617,36 @@ class FusedSensorStage(Stage):
                         fr = np.repeat(fr[..., None], 3, -1)
                     cam_frames.append(fr.astype(np.uint8, copy=False))
                 n = len(cam_frames)
-                cams = np.stack(cam_frames)
-                if n < self.batch:
-                    cams = np.concatenate(
-                        [cams, np.repeat(cams[-1:], self.batch - n, 0)])
-                mic, first, skipped = self.receiver.read_batch(
-                    self.batch, next_seq, timeout=1.0,
-                    channels=self.channels)
-                if mic is None:
-                    continue
-                next_seq = first + self.batch
+                if n:
+                    cams = np.stack(cam_frames)
+                    if n < self.batch:
+                        cams = np.concatenate(
+                            [cams,
+                             np.repeat(cams[-1:], self.batch - n, 0)])
+                    self._last_cams = cams
+                else:           # listening cycle with no camera frame
+                    cams = self._last_cams
+                if not self.listen:
+                    mic, first, skipped = self.receiver.read_batch(
+                        self.batch, next_seq, timeout=1.0,
+                        channels=self.channels)
+                    if mic is None:
+                        continue
+                    next_seq = first + self.batch
+                    stamps = None
                 if skipped:
                     self.skipped += skipped
                 t0 = time.perf_counter()
                 out = self._launch(mic, cams, n)
-                q_pend.put((out, n, cam_frames, t_ready, t0))
+                q_pend.put((out, n, cam_frames, t_ready, t0, skipped,
+                            stamps))
         finally:
             q_pend.put(None)
             finisher.join(timeout=30.0)
 
     def report(self):
         lat = np.asarray(self.latency_ms, np.float64)
-        return {
+        rep = {
             "frames": self.frames,
             "latency_p50_ms": round(float(np.percentile(lat, 50)), 2)
             if lat.size else None,
@@ -520,3 +658,8 @@ class FusedSensorStage(Stage):
                 k: round(float(np.percentile(v, 50)) * 1e3, 1)
                 for k, v in self.phase_s.items() if v},
         }
+        if self.audio is not None:
+            rep.update(self.audio.latency())
+            rep["audio_frames"] = self.audio.samples // self.n_samples
+            rep["underrun_frames"] = self.audio.underrun_frames
+        return rep

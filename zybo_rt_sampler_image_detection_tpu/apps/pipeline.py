@@ -306,7 +306,7 @@ def make_mvdr_stream(cfg: Config, kind: str = "maps", alpha: float = 0.9,
     ft = freq.make_freq_tables(cfg, band_low)
     n_full = cfg.n_microphones
     state = {"p": freq.init_precision(ft), "n": 0, "r": 0,
-             "dq": None, "dqc": 0}
+             "dq": None, "dqc": 0, "bshape": None}
     refresh_every = freq.refresh_interval(alpha)
     carry_max = freq.d0_carry_interval(alpha)
     uses_d0 = kind in ("maps", "maps_beams")
@@ -319,6 +319,7 @@ def make_mvdr_stream(cfg: Config, kind: str = "maps", alpha: float = 0.9,
                 st, frames, t, alpha=alpha, d0=dq, return_d=True)
             beams = freq.mvdr_beam_precision(st2, t, frames, d)
             return (maps, beams), st2, dq2
+
     elif kind == "maps":
         @partial(jax.jit, static_argnames=("alpha",))
         def _core(st, dq, frames, t, alpha):
@@ -386,6 +387,11 @@ def make_mvdr_stream(cfg: Config, kind: str = "maps", alpha: float = 0.9,
     fn.reset = reset
     fn.tables = ft
     fn.state = state
+    # embedded-state consumers (FusedSensorStage's in-program listening)
+    # run the per-call device step themselves but MUST share this exact
+    # cadence: set state["p"] to the post-batch state, then tick(k)
+    fn.tick = _tick
+    fn.alpha = alpha
     # batched calls pad/upcast channel-sliced or f16 transfers inside the
     # fused device program — the batched stages must NOT prepend their
     # own pad prologue (an extra ~40 ms tunnel dispatch per batch)
@@ -669,6 +675,57 @@ class MisoProducer(Stage):
             self.metric.tick(time.perf_counter() - t0)
 
 
+class AudioLeg:
+    """Gapless-audio accounting shared by the listening stages
+    (:class:`BatchedMisoProducer` and the fused display stage's embedded
+    listening, ``apps/fused.py``): zero-fills frames lost to ring
+    overwrites so the stream stays sample-count exact, counts
+    samples/underruns, and measures the packet->sink e2e latency
+    contract from the ring publish stamps (the reference's PortAudio
+    callback ran at ms scale, ``api.c:268-282``)."""
+
+    def __init__(self, sink: audio_mod.AudioSink, post_fn,
+                 n_samples: int):
+        self.sink = sink
+        self.post_fn = post_fn
+        self.n_samples = n_samples
+        self.underrun_frames = 0
+        self.samples = 0
+        self.lat_oldest_ms: list = []
+        self.lat_newest_ms: list = []
+
+    def write(self, beams: np.ndarray, skipped: int, stamps=None):
+        if skipped:
+            # keep the stream time-aligned: silence for the lost frames
+            self.underrun_frames += skipped
+            gap = np.zeros(skipped * self.n_samples, np.float32)
+            self.sink.write(gap)
+            self.samples += gap.size
+        audio = self.post_fn(beams).reshape(-1).astype(np.float32)
+        self.sink.write(audio)
+        self.samples += audio.size
+        if stamps is not None:
+            s = stamps[stamps > 0]
+            if s.size:
+                now = time.perf_counter()
+                self.lat_oldest_ms.append((now - float(s.min())) * 1e3)
+                self.lat_newest_ms.append((now - float(s.max())) * 1e3)
+
+    def latency(self) -> dict:
+        """p50/p95 of the per-batch oldest-frame age at sink write — the
+        measured end-to-end playback lag (packet ring -> audio sink)."""
+        if not self.lat_oldest_ms:
+            return {}
+        old = np.asarray(self.lat_oldest_ms)
+        new = np.asarray(self.lat_newest_ms)
+        return {
+            "audio_e2e_p50_ms": round(float(np.percentile(old, 50)), 2),
+            "audio_e2e_p95_ms": round(float(np.percentile(old, 95)), 2),
+            "audio_e2e_newest_p50_ms":
+                round(float(np.percentile(new, 50)), 2),
+        }
+
+
 class BatchedMisoProducer(BatchedStage):
     """Full-rate (gapless) steered LISTENING: every frame beamed, in
     counter-contiguous batches.
@@ -705,18 +762,30 @@ class BatchedMisoProducer(BatchedStage):
         self.beam_fn = beam_fn
         self.post_fn = post_fn
         self.n_samples = n_samples
-        self.underrun_frames = 0
-        self.samples = 0
         self._direction = 0
         self._lock = threading.Lock()
         # audio e2e latency contract: per-batch age (at sink.write) of
         # the batch's OLDEST and NEWEST frames, measured from their ring
-        # publish stamps.  The oldest-frame age is the stream's playback
-        # lag — what a listener actually experiences; the reference's
-        # PortAudio callback ran at ms scale (api.c:268-282).
+        # publish stamps (AudioLeg).  The oldest-frame age is the
+        # stream's playback lag — what a listener actually experiences.
         self.want_stamps = True
-        self.lat_oldest_ms: list = []
-        self.lat_newest_ms: list = []
+        self._audio = AudioLeg(sink, post_fn, n_samples)
+
+    @property
+    def underrun_frames(self) -> int:
+        return self._audio.underrun_frames
+
+    @property
+    def samples(self) -> int:
+        return self._audio.samples
+
+    @property
+    def lat_oldest_ms(self) -> list:
+        return self._audio.lat_oldest_ms
+
+    @property
+    def lat_newest_ms(self) -> list:
+        return self._audio.lat_newest_ms
 
     def steer(self, direction: int):
         with self._lock:
@@ -728,35 +797,10 @@ class BatchedMisoProducer(BatchedStage):
         return self.beam_fn(frames_dev, d)
 
     def _write_audio(self, beams: np.ndarray, skipped: int, stamps=None):
-        if skipped:
-            # keep the stream time-aligned: silence for the lost frames
-            self.underrun_frames += skipped
-            gap = np.zeros(skipped * self.n_samples, np.float32)
-            self.sink.write(gap)
-            self.samples += gap.size
-        audio = self.post_fn(beams).reshape(-1).astype(np.float32)
-        self.sink.write(audio)
-        self.samples += audio.size
-        if stamps is not None:
-            s = stamps[stamps > 0]
-            if s.size:
-                now = time.perf_counter()
-                self.lat_oldest_ms.append((now - float(s.min())) * 1e3)
-                self.lat_newest_ms.append((now - float(s.max())) * 1e3)
+        self._audio.write(beams, skipped, stamps)
 
     def audio_latency(self) -> dict:
-        """p50/p95 of the per-batch oldest-frame age at sink write — the
-        measured end-to-end playback lag (packet ring -> audio sink)."""
-        if not self.lat_oldest_ms:
-            return {}
-        old = np.asarray(self.lat_oldest_ms)
-        new = np.asarray(self.lat_newest_ms)
-        return {
-            "audio_e2e_p50_ms": round(float(np.percentile(old, 50)), 2),
-            "audio_e2e_p95_ms": round(float(np.percentile(old, 95)), 2),
-            "audio_e2e_newest_p50_ms":
-                round(float(np.percentile(new, 50)), 2),
-        }
+        return self._audio.latency()
 
     def consume(self, beams, first_seq: int, skipped: int, stamps=None):
         self._write_audio(beams, skipped, stamps)

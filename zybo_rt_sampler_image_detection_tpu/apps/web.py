@@ -20,7 +20,14 @@ Re-implements the reference Django app (``PC/application``) on the stdlib
 * ``/disconnect``       — stop producers and the receiver
 * ``/metrics``          — JSON health snapshot (per-stage rate/latency/
                           drops from :class:`PipelineMetrics`, ingest gap
-                          counters, overlay error count)
+                          counters, overlay error count; with ``?fused=1``
+                          active, the fused cycle's phase breakdown)
+
+``?fullrate=1`` on an imaging backend beamforms EVERY frame (batched
+stage); ``?fused=1`` serves the MJPEG stream from the fused display
+cycle (``apps/fused.py``: steered power + YOLO + composite as ONE
+packed device program per batch — display-ready composites, no host
+overlay work).
 
 Threshold/amount come from GET query params like the reference's sliders
 (``views.py:20-30``); the heatmap overlay uses the same EMA blend
@@ -56,6 +63,7 @@ _PAGE = """<!doctype html><html><head><title>zybo-rt-tpu</title></head>
  <a href="/enableBackend3?threshold={threshold}&amount={amount}">fft</a> |
  <a href="/enableBackend4?threshold={threshold}&amount={amount}">mvdr</a> |
  <a href="/enableBackend1?threshold={threshold}&amount={amount}&fullrate=1">pad full-rate</a> |
+ <a href="/enableBackend1?fused=1">fused cycle</a> |
  <a href="/sound?threshold={threshold}&amount={amount}">pad + sound</a> |
  <a href="/sound?threshold={threshold}&amount={amount}&beam=mvdr">adaptive sound</a> |
  <a href="/replay">replay</a> |
@@ -120,11 +128,19 @@ class VideoCamera:
         self._last_jpeg_t = 0.0
         self.overlay_errors = 0
         self.last_overlay_error = ""
+        # ?fused=1 state: the MJPEG stream serves FusedSensorStage
+        # composites (display-ready uint8) instead of the host overlay
+        self._fused_stage = None
+        self._fused_display = None
+        # injectable for hermetic tests (the default quick-pretrained
+        # detector trains ~700 CPU steps on first use, then caches)
+        self.detector_factory = None
 
     # -- backend lifecycle (views.py:32-98 semantics) ---------------------------
 
     def start(self, backend: int, sound: bool = False,
-              sound_beam: str = "time", fullrate: bool = False):
+              sound_beam: str = "time", fullrate: bool = False,
+              fused: bool = False):
         with self._lock:
             self._stop_locked()
             algo = _BACKENDS.get(backend, "pad")
@@ -140,13 +156,24 @@ class VideoCamera:
                 # cadence (see pipeline.make_mvdr_stream)
                 from .pipeline import make_mvdr_stream
                 power_fn = make_mvdr_stream(self.cfg, "maps")
+            if fused and algo in ("fft", "mvdr"):
+                # the fused cycle runs the production TIME-domain backend
+                # policy (pipeline._power_program_parts) — fall back to
+                # the host overlay for the fft/mvdr imaging backends
+                fused = False
             # through the constructor (not a private poke) so Pipeline's
             # power_fn/power_backend conflict validation applies
             p = Pipeline(self.cfg, algorithm=time_algo,
                          replay_mode=self.replay, audio_sink="null",
                          power_fn=power_fn)
             p.connect()
-            if fullrate:
+            if fused:
+                # ?fused=1: the whole display cycle (steered power +
+                # YOLO + composite) as ONE packed device program per
+                # batch (apps/fused.py) — the MJPEG stream serves its
+                # display-ready composites, /metrics its phase breakdown
+                self._start_fused_locked(p)
+            elif fullrate:
                 # full-rate opt-in (?fullrate=1): EVERY frame beamformed
                 # via the batched stage; its default sink still publishes
                 # the newest map per batch to q_power for the MJPEG
@@ -165,6 +192,39 @@ class VideoCamera:
             self.pipeline = p
             self.backend = backend
 
+    def _start_fused_locked(self, p: Pipeline, batch: int = 8):
+        import queue as _queue
+
+        from ..fusion.composite import DeviceCompositor
+        from .fused import FusedSensorStage
+
+        ok, probe = self.camera.read()
+        cam_hw = probe.shape[:2] if ok else (480, 640)
+        if self.detector_factory is not None:
+            det = self.detector_factory()
+        else:
+            from ..models.train import pretrained_demo_detector
+            det = pretrained_demo_detector()
+        p.q_yolo = _queue.Queue(maxsize=2 * batch)
+        p.start_camera(self.camera, fps_limit=30.0)
+        grid = (self.cfg.max_res_x, self.cfg.max_res_y)
+        comp = DeviceCompositor(
+            grid, cam_hw,
+            window=(self.cfg.window_width, self.cfg.window_height),
+            yolo_shape=cam_hw, max_tracks=8)
+        display = _LatestComposite()
+        n_ch = ((p.receiver.n_arrays or self.cfg.active_arrays)
+                * self.cfg.rows * self.cfg.columns)
+        stage = FusedSensorStage(
+            p.receiver, p.tables, comp, det, p.q_yolo, display,
+            p.metrics, batch=batch,
+            channels=min(n_ch, self.cfg.n_microphones),
+            steer_cb=lambda h, v: p.steer_cartesian_degree(h, v))
+        stage.warmup()
+        p.run_stage(stage)
+        self._fused_stage = stage
+        self._fused_display = display
+
     def stop(self):
         with self._lock:
             self._stop_locked()
@@ -173,6 +233,8 @@ class VideoCamera:
         if self.pipeline is not None:
             self.pipeline.stop()
             self.pipeline = None
+        self._fused_stage = None
+        self._fused_display = None
         # a new backend must not EMA-blend with the old backend's last
         # heatmap (ghost hotspots, possibly minutes stale)
         self._prev_heat = None
@@ -198,6 +260,13 @@ class VideoCamera:
             return jpeg
 
     def _render_frame(self):
+        disp = self._fused_display
+        if disp is not None:
+            comp = disp.latest
+            if comp is not None:
+                return _jpeg(comp)       # display-ready device composite
+            self.overlay_errors += 1
+            self.last_overlay_error = "fused stage produced nothing yet"
         ok, frame = self.camera.read()
         if not ok:
             frame = np.zeros((480, 640, 3), np.uint8)
@@ -239,7 +308,28 @@ class VideoCamera:
         p = self.pipeline
         if p is not None:
             rep["pipeline"] = p.report()
+        stage = self._fused_stage
+        if stage is not None:
+            # the fused cycle's own accounting: sustained frames, e2e
+            # latency, per-leg phase breakdown (which leg bottlenecks)
+            rep["fused"] = stage.report()
         return rep
+
+
+class _LatestComposite:
+    """Display adapter for the fused stage: keeps the newest composite
+    for the MJPEG generator (drop-everything-but-latest semantics —
+    exactly the reference monitor's behavior, ``camera.py:129-133``)."""
+
+    def __init__(self):
+        self.latest = None
+
+    def show(self, img):
+        self.latest = np.ascontiguousarray(img)
+
+    def show_batch(self, comps):
+        if len(comps):
+            self.latest = np.ascontiguousarray(comps[-1])
 
 
 def _jpeg(img: np.ndarray) -> bytes:
@@ -349,7 +439,9 @@ def make_server(cfg: Config = None, replay: bool = False, port: int = 8000,
                 if not self._sliders(q):
                     return
                 cam.start(n, fullrate=q.get("fullrate",
-                                            ["0"])[0] not in ("0", ""))
+                                            ["0"])[0] not in ("0", ""),
+                          fused=q.get("fused",
+                                      ["0"])[0] not in ("0", ""))
                 self._page(action=u.path)
             elif u.path == "/sound":
                 # ?beam=mvdr selects the adaptive (streaming-MVDR)

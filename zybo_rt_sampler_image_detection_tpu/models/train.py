@@ -257,7 +257,7 @@ def train_reference_recipe(steps: int = 3000, batch_size: int = 16,
                            size: int = 416, width: float = 1.0,
                            num_classes: int = 3,
                            learning_rate: float = 1e-3, seed: int = 0,
-                           pool_batches: int = 128,
+                           pool_batches: int = 96,
                            chunk_steps: int = 250,
                            eval_images: int = 192,
                            map_gate: float = 0.9,
@@ -270,6 +270,10 @@ def train_reference_recipe(steps: int = 3000, batch_size: int = 16,
     weights blob is missing upstream so quality is gated on the
     exact-label synthetic task instead — mAP@0.5 >= ``map_gate`` on a
     held-out set).
+
+    ``pool_batches`` defaults to 96: the 128-batch pool (1.06 GB u8)
+    measured 179 MB over a 16 GB v5e's HBM next to the full-width
+    416 px train step (OOM at compile, 2026-08-20).
 
     Tunnel-native training loop: the data pool lives ON DEVICE as uint8
     (one upload) with pre-built targets, and training advances in
@@ -418,7 +422,7 @@ def main(argv=None):
     ap.add_argument("--classes", type=int, default=3)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--pool", type=int, default=128,
+    ap.add_argument("--pool", type=int, default=96,
                     help="device-resident pool size (batches)")
     ap.add_argument("--chunk", type=int, default=250,
                     help="lax.scan steps per dispatch")

@@ -195,6 +195,93 @@ def _equiv_power_kernel(s_ref, h1_ref, h2_ref, ib1_ref, ib2_ref, sj_ref,
         out_ref[:, :] = power * inv
 
 
+def _equiv_power_kernel_fd(s_ref, h1_ref, h2_ref, ib1_ref, ib2_ref,
+                           sj_ref, wc_ref, out_ref, th_ref, *, n_fc,
+                           fc_len, n_tail, Tc, inv, th_precision,
+                           main_precision, three_pass):
+    """Direction-INNERMOST variant (round 5, the recorded S-prefetch
+    experiment): grid = (frame-chunk, frequency-chunk, direction-tile).
+
+    With f innermost (`_equiv_power_kernel`), every direction tile
+    re-streams the whole S slice of its frame chunk from HBM —
+    n_d_tiles x S bytes per batch, the named bound since round 3.  With
+    d innermost, S's block index is CONSTANT across the direction sweep
+    (Pallas only re-fetches on index change), so S streams exactly
+    n_fc x once per frame chunk — the minimum.  The price: the Parseval
+    and tail/head accumulators can no longer live in per-cell VMEM
+    scratch (the same (b, d) cell is revisited once per f-chunk with
+    other d tiles in between), so they become HBM OUTPUTS revisited
+    per chunk — out_ref accumulates raw power, th_ref the beam samples,
+    and the epilogue folds the corrections in on the last f-chunk.
+    Only meaningful when n_fc > 1 (single-chunk plans already fetch S
+    once).  Win-or-negative numbers: BENCHMARKS.md round 5.
+    """
+    fc_i = pl.program_id(1)
+
+    def bdot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=main_precision)
+
+    has_th = (n_tail + Tc) > 0
+    ib_rows = pl.ds(fc_i * fc_len, fc_len)
+
+    def thdot(ib_ref, b):
+        return jax.lax.dot_general(
+            ib_ref[ib_rows], b, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=th_precision)
+
+    if three_pass:
+        M2 = h1_ref.shape[1] // 2
+        s_hi = s_ref[:, :, :M2]
+        s_lo = s_ref[:, :, M2:]
+        h1hi, h1lo = h1_ref[:, :M2], h1_ref[:, M2:]
+        h2hi, h2lo = h2_ref[:, :M2], h2_ref[:, M2:]
+        br = bdot(s_hi, h1hi) + bdot(s_hi, h1lo) + bdot(s_lo, h1hi)
+    else:
+        br = bdot(s_ref[:], h1_ref[:])
+    partial = jnp.sum(br * br, axis=0)                     # (Bc, TILE_D)
+    th_part = thdot(ib1_ref, br) if has_th else None
+    if three_pass:
+        bi = bdot(s_hi, h2hi) + bdot(s_hi, h2lo) + bdot(s_lo, h2hi)
+    else:
+        bi = bdot(s_ref[:], h2_ref[:])
+    partial = partial + jnp.sum(bi * bi, axis=0)
+    if has_th:
+        th_part = th_part + thdot(ib2_ref, bi)
+
+    @pl.when(fc_i == 0)
+    def _init():
+        out_ref[:, :] = partial
+        if has_th:
+            th_ref[:, :, :] = th_part
+        else:           # declared output: write once so it's defined
+            th_ref[:, :, :] = jnp.zeros(th_ref.shape, th_ref.dtype)
+
+    @pl.when(fc_i > 0)
+    def _accum():
+        out_ref[:, :] = out_ref[:, :] + partial
+        if has_th:
+            th_ref[:, :, :] = th_ref[:, :, :] + th_part
+
+    @pl.when(fc_i == n_fc - 1)
+    def _finish():
+        power = out_ref[:, :]
+        TH = th_ref[:, :, :] if has_th else None
+        for p in range(n_tail):
+            t = TH[p]
+            power = power - t * t
+        if Tc:
+            vt = jax.lax.dot_general(
+                sj_ref[:], wc_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=th_precision)
+            for c in range(Tc):
+                v = vt[:, c, :]
+                power = power + (v * v - 2.0 * TH[n_tail + c] * v)
+        out_ref[:, :] = power * inv
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class EquivKernelTables:
@@ -264,7 +351,15 @@ class FusedEquivBeamformer:
                  tile_d: int = 128, interpret: Optional[bool] = None,
                  vmem_budget: int = 88 * 1024 * 1024,
                  plan_override: Optional[tuple] = None,
-                 use_tuned: bool = True):
+                 use_tuned: bool = True, sweep: str = "df"):
+        # sweep="fd": direction-INNERMOST grid — S streams once per
+        # (frame, f)-chunk instead of once per direction tile, with the
+        # Parseval/tail-head accumulators moved to revisited HBM outputs
+        # (see _equiv_power_kernel_fd).  Only differs when the plan has
+        # n_fc > 1; measured win-or-negative in BENCHMARKS.md round 5.
+        if sweep not in ("df", "fd"):
+            raise ValueError(f"sweep must be 'df' or 'fd', got {sweep!r}")
+        self.sweep = sweep
         et = t if isinstance(t, EquivFreqTables) else make_equiv_tables(t)
         if mode is None:
             mode = {"high": "high", "highest": "f32"}.get(
@@ -490,19 +585,80 @@ def _equiv_forward_flat(signals, kt: EquivKernelTables, meta):
                                lambda b, d, f: (0, 0, 0),
                                memory_space=pltpu.VMEM)
 
-    grid = (BP // Bc, m.DP // m.tile_d, m.n_fc)
     fc = m.fc_len
-    kernel = functools.partial(
-        _equiv_power_kernel, n_fc=m.n_fc, fc_len=fc, n_tail=m.n_tail,
+    kern_kw = dict(
+        n_fc=m.n_fc, fc_len=fc, n_tail=m.n_tail,
         Tc=kt.Tc, inv=np.float32(1.0 / (N * kt.M * kt.M)),
         th_precision=(jax.lax.Precision.DEFAULT if m.mode == "bf16"
                       else jax.lax.Precision.HIGHEST),
         main_precision=(jax.lax.Precision.HIGHEST if m.mode == "f32"
                         else jax.lax.Precision.DEFAULT),
         three_pass=three_pass)
+    cost = pl.CostEstimate(
+        flops=2 * BP * m.DP * m.KS * FP
+        + 12 * m.TtP * BP * m.DP * FP,
+        bytes_accessed=(kt.H1.size + kt.H2.size) * kt.H1.dtype.itemsize
+        + S.size * S.dtype.itemsize + 4 * BP * m.DP,
+        transcendentals=0,
+    )
+    params = pltpu.CompilerParams(
+        vmem_limit_bytes=127 * 1024 * 1024,
+        dimension_semantics=("parallel", "arbitrary", "arbitrary"))
+    if getattr(m, "sweep", "df") == "fd" and m.n_fc > 1:
+        # direction-innermost sweep: S's block index is constant across
+        # the d axis, so Pallas fetches each S chunk ONCE per (b, f)
+        # instead of once per direction tile; the accumulators become
+        # revisited HBM outputs (see _equiv_power_kernel_fd)
+        if kt.Wc3 is not None:
+            sj_spec = pl.BlockSpec((Bc, m.JMP), lambda b, f, d: (b, 0),
+                                   memory_space=pltpu.VMEM)
+            wc_spec = pl.BlockSpec((m.JMP, m.TcP, m.tile_d),
+                                   lambda b, f, d: (0, 0, d),
+                                   memory_space=pltpu.VMEM)
+        else:
+            sj_spec = pl.BlockSpec((Bc, m.JMP), lambda b, f, d: (0, 0),
+                                   memory_space=pltpu.VMEM)
+            wc_spec = pl.BlockSpec((m.JMP, m.TcP, m.tile_d),
+                                   lambda b, f, d: (0, 0, 0),
+                                   memory_space=pltpu.VMEM)
+        power, _th = pl.pallas_call(
+            functools.partial(_equiv_power_kernel_fd, **kern_kw),
+            grid=(BP // Bc, m.n_fc, m.DP // m.tile_d),
+            in_specs=[
+                pl.BlockSpec((fc, Bc, m.KS), lambda b, f, d: (f, b, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((fc, m.KH, m.tile_d),
+                             lambda b, f, d: (f, 0, d),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((fc, m.KH, m.tile_d),
+                             lambda b, f, d: (f, 0, d),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((FP, m.TtP), lambda b, f, d: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((FP, m.TtP), lambda b, f, d: (0, 0),
+                             memory_space=pltpu.VMEM),
+                sj_spec,
+                wc_spec,
+            ],
+            out_specs=[
+                pl.BlockSpec((Bc, m.tile_d), lambda b, f, d: (b, d),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((m.TtP, Bc, m.tile_d),
+                             lambda b, f, d: (0, b, d),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((BP, m.DP), jnp.float32),
+                jax.ShapeDtypeStruct((m.TtP, BP, m.DP), jnp.float32),
+            ],
+            interpret=m.interpret,
+            compiler_params=params,
+            cost_estimate=cost,
+        )(S, kt.H1, kt.H2, kt.ib1, kt.ib2, sj, wc)
+        return power
     power = pl.pallas_call(
-        kernel,
-        grid=grid,
+        functools.partial(_equiv_power_kernel, **kern_kw),
+        grid=(BP // Bc, m.DP // m.tile_d, m.n_fc),
         in_specs=[
             pl.BlockSpec((fc, Bc, m.KS), lambda b, d, f: (f, b, 0),
                          memory_space=pltpu.VMEM),
@@ -527,15 +683,7 @@ def _equiv_forward_flat(signals, kt: EquivKernelTables, meta):
             pltpu.VMEM((Bc, m.tile_d), jnp.float32),
         ],
         interpret=m.interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=127 * 1024 * 1024,
-            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * BP * m.DP * m.KS * FP
-            + 12 * m.TtP * BP * m.DP * FP,
-            bytes_accessed=(kt.H1.size + kt.H2.size) * kt.H1.dtype.itemsize
-            + S.size * S.dtype.itemsize + 4 * BP * m.DP,
-            transcendentals=0,
-        ),
+        compiler_params=params,
+        cost_estimate=cost,
     )(S, kt.H1, kt.H2, kt.ib1, kt.ib2, sj, wc)
     return power

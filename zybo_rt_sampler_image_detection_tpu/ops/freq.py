@@ -362,6 +362,148 @@ def invert_hermitian(R_re: jax.Array, R_im: jax.Array,
     return cols[:, :M, :], cols[:, M:, :]
 
 
+# -- unrolled complex potri (round 5) ---------------------------------------
+#
+# The round-4 refresh wall was jnp.linalg.cholesky itself: XLA's batched
+# factorization is a serial While loop with a measured ~4.4 ms floor at
+# ANY size (BENCHMARKS.md round-4 ladder; 64x64 costs 4.9 ms for 100x
+# less work), so every blocked design built ON the custom call pays the
+# floor per call.  This path removes the loop entirely: a recursive
+# blocked Cholesky + triangular inverse whose leaves are STATICALLY
+# UNROLLED rank-1 / forward-substitution steps (ordinary fused VPU ops,
+# microsecond-scale each) and whose merges are MXU matmuls.  It works
+# directly on the complex (re, im) planes — half the sequential depth
+# (M steps, not 2M) and the same real FLOPs as the 2Mx2M embedding.
+
+
+def _cmm(ar, ai, br, bi, prec=_HI):
+    """Complex matmul on (re, im) planes: (..., m, k) @ (..., k, n)."""
+    rr = (jnp.einsum("...mk,...kn->...mn", ar, br, precision=prec)
+          - jnp.einsum("...mk,...kn->...mn", ai, bi, precision=prec))
+    ri = (jnp.einsum("...mk,...kn->...mn", ar, bi, precision=prec)
+          + jnp.einsum("...mk,...kn->...mn", ai, br, precision=prec))
+    return rr, ri
+
+
+def _ct(ar, ai):
+    """Conjugate transpose on planes."""
+    return jnp.swapaxes(ar, -1, -2), -jnp.swapaxes(ai, -1, -2)
+
+
+def _chol_unrolled_c(Ar, Ai):
+    """Batched complex Hermitian-PD Cholesky leaf: b statically unrolled
+    right-looking rank-1 steps (b = static trailing dim, keep <= 32)."""
+    b = Ar.shape[-1]
+    idx = jnp.arange(b)
+    cols_r, cols_i = [], []
+    for j in range(b):
+        d = jnp.sqrt(jnp.maximum(Ar[..., j, j], 1e-30))[..., None]
+        keep = idx >= j
+        cr = jnp.where(keep, Ar[..., :, j] / d, 0.0)
+        ci = jnp.where(keep, Ai[..., :, j] / d, 0.0)
+        cols_r.append(cr)
+        cols_i.append(ci)
+        # trailing update A -= c c^H (outer products; rows < j are
+        # masked to zero in c so the update only touches [j:, j:])
+        Ar = Ar - (cr[..., :, None] * cr[..., None, :]
+                   + ci[..., :, None] * ci[..., None, :])
+        Ai = Ai - (ci[..., :, None] * cr[..., None, :]
+                   - cr[..., :, None] * ci[..., None, :])
+    return jnp.stack(cols_r, -1), jnp.stack(cols_i, -1)
+
+
+def _trtri_unrolled_c(Lr, Li):
+    """Batched complex lower-triangular inverse leaf: b statically
+    unrolled forward-substitution steps (right-looking rank-1 updates of
+    the identity).  Assumes a REAL diagonal (true for Cholesky factors;
+    the complex rank-1 step divides by the real sqrt)."""
+    b = Lr.shape[-1]
+    idx = jnp.arange(b)
+    Br = jnp.broadcast_to(jnp.eye(b, dtype=Lr.dtype), Lr.shape)
+    Bi = jnp.zeros_like(Br)
+    rows_r, rows_i = [], []
+    for j in range(b):
+        d = Lr[..., j, j][..., None]
+        yr = Br[..., j, :] / d
+        yi = Bi[..., j, :] / d
+        rows_r.append(yr)
+        rows_i.append(yi)
+        below = (idx > j)[:, None]
+        lr = Lr[..., :, j][..., :, None]
+        li = Li[..., :, j][..., :, None]
+        Br = Br - jnp.where(below, lr * yr[..., None, :]
+                            - li * yi[..., None, :], 0.0)
+        Bi = Bi - jnp.where(below, lr * yi[..., None, :]
+                            + li * yr[..., None, :], 0.0)
+    return jnp.stack(rows_r, -2), jnp.stack(rows_i, -2)
+
+
+def _chol_inv_blocked_c(Ar, Ai, leaf: int = 32):
+    """Recursive blocked complex Cholesky WITH its triangular inverse:
+    returns ``(Lr, Li, Tr, Ti)`` where ``A = L L^H`` and ``T = L^{-1}``.
+
+    Halving recursion (LAPACK potrf+trtri fused so the panel's leaf
+    inverse is computed once)::
+
+        L11, T11 = rec(A11);  L21 = A21 T11^H
+        L22, T22 = rec(A22 - L21 L21^H)
+        T = [[T11, 0], [-T22 L21 T11, T22]]
+
+    Leaves are unrolled (no XLA While); merges are MXU matmuls at
+    HIGHEST precision.  Same cond*eps class as the embedding potri path
+    (gated by the rank-refresh and ill-conditioned tests).
+    """
+    n = Ar.shape[-1]
+    if n <= leaf or n % 2:
+        Lr, Li = _chol_unrolled_c(Ar, Ai)
+        Tr, Ti = _trtri_unrolled_c(Lr, Li)
+        return Lr, Li, Tr, Ti
+    h = n // 2
+    L11r, L11i, T11r, T11i = _chol_inv_blocked_c(
+        Ar[..., :h, :h], Ai[..., :h, :h], leaf)
+    t11hr, t11hi = _ct(T11r, T11i)
+    L21r, L21i = _cmm(Ar[..., h:, :h], Ai[..., h:, :h], t11hr, t11hi)
+    l21hr, l21hi = _ct(L21r, L21i)
+    S21r, S21i = _cmm(L21r, L21i, l21hr, l21hi)
+    L22r, L22i, T22r, T22i = _chol_inv_blocked_c(
+        Ar[..., h:, h:] - S21r, Ai[..., h:, h:] - S21i, leaf)
+    # off-diagonal of the inverse: -T22 L21 T11
+    m1r, m1i = _cmm(L21r, L21i, T11r, T11i)
+    offr, offi = _cmm(T22r, T22i, m1r, m1i)
+    z = jnp.zeros_like(L21r)
+    zT = jnp.swapaxes(z, -1, -2)
+    Lr = jnp.concatenate([
+        jnp.concatenate([L11r, zT], -1),
+        jnp.concatenate([L21r, L22r], -1)], -2)
+    Li = jnp.concatenate([
+        jnp.concatenate([L11i, zT], -1),
+        jnp.concatenate([L21i, L22i], -1)], -2)
+    Tr = jnp.concatenate([
+        jnp.concatenate([T11r, zT], -1),
+        jnp.concatenate([-offr, T22r], -1)], -2)
+    Ti = jnp.concatenate([
+        jnp.concatenate([T11i, zT], -1),
+        jnp.concatenate([-offi, T22i], -1)], -2)
+    return Lr, Li, Tr, Ti
+
+
+def invert_hermitian_unrolled(R_re: jax.Array, R_im: jax.Array,
+                              leaf: int = 32
+                              ) -> Tuple[jax.Array, jax.Array]:
+    """Hermitian-PD inverse with NO XLA While loop anywhere: blocked
+    complex potri with statically-unrolled leaves (see
+    :func:`_chol_inv_blocked_c`), then ``P = T^H T``.
+
+    This replaces :func:`invert_hermitian` (the 2Mx2M embedding whose
+    ``jnp.linalg.cholesky`` call alone measured 15.8 ms with a ~4.4 ms
+    serial-While floor) on the production refresh path; the embedding
+    path remains as the reference implementation and fallback.
+    """
+    _, _, Tr, Ti = _chol_inv_blocked_c(R_re, R_im, leaf)
+    thr, thi = _ct(Tr, Ti)
+    return _cmm(thr, thi, Tr, Ti)
+
+
 @partial(jax.jit, static_argnames=("grid_precision",))
 def mvdr_power(state: CovarianceState, t: FreqTables,
                diagonal_loading: float = 1e-3,
@@ -809,6 +951,54 @@ def mvdr_maps_scan(state: PrecisionState, signals: jax.Array,
     return maps, st
 
 
+@partial(jax.jit, static_argnames=("alpha", "grid_precision"))
+def mvdr_maps_scan_refresh(state: PrecisionState, signals: jax.Array,
+                           t: FreqTables, alpha: float = 0.9,
+                           grid_precision: str = "high",
+                           d0: Optional[jax.Array] = None):
+    """Epoch-closing block scan with the exact refresh FOLDED INTO the
+    same device program — the round-4 verdict's overlap move,
+    implemented and **measured NEGATIVE** (kept as the recorded
+    artifact; production uses the separate-refresh cadence).
+
+    Measured 2026-08-20, reference shape, 64-frame epochs with the
+    unrolled-potri factorization in BOTH variants: separate refresh
+    1,978.4 maps/s (spread 0.042) vs this fused variant 1,769.5
+    (spread 0.062).  Why it loses on one core: TPU programs execute on
+    a single serialized schedule, so "overlapping" the factorization
+    with the scan saves nothing, while correcting the pre-block
+    refresh for the block costs a genuinely EXTRA rank-B Woodbury
+    update of P (~3.8 ms/epoch) on top of the scan's own chunk
+    advance.  The real round-5 refresh win was orthogonal:
+    :func:`invert_hermitian_unrolled` (21.9 -> 8.5 ms), which lifted
+    the production epoch 1,403 -> 1,978 maps/s.
+
+    Semantics: the refresh inverts the PRE-block covariance (no data
+    dependence on the scan) and the fresh P advances by the block's
+    exact rank-B Woodbury correction — i.e.
+    ``inv(R_post + alpha^B * load_pre * I)``: the loading re-anchors
+    one block EARLIER than the standalone refresh and decays by
+    ``alpha^B`` across the block, exactly as the recursion decays it
+    between any two refreshes (gated against the float64 model in
+    tests).  Returns ``(maps, refreshed_state, d)``; maps are
+    bit-identical to ``mvdr_maps_scan``.
+    """
+    maps, st2, d = mvdr_maps_scan(state, signals, t, alpha=alpha,
+                                  grid_precision=grid_precision, d0=d0,
+                                  return_d=True)
+    # refresh from the PRE-block covariance (independent of the scan)
+    R_re, R_im = _loaded(state.cov, state.load)
+    P_re, P_im = invert_hermitian_unrolled(R_re, R_im)
+    fresh = PrecisionState(P_re=P_re, P_im=P_im, cov=state.cov,
+                           load=state.load)
+    # advance the refreshed P by this block (exact rank-B Woodbury);
+    # the covariance advance duplicates st2.cov's subgraph bit-exactly,
+    # so XLA CSEs it — one cov update in the compiled program
+    sr, si = _frame_fft(signals, t)
+    st3 = _update_precision_block_sp(fresh, sr, si, alpha)
+    return maps, st3, d
+
+
 def refresh_interval(alpha: float = 0.9) -> int:
     """Max frames between :func:`refresh_precision` calls before f32
     recursion drift becomes visible.
@@ -856,9 +1046,16 @@ def refresh_precision(state: PrecisionState, t: FreqTables) -> PrecisionState:
     blocked-batched trtri + half-width syrk after the one Cholesky)
     computes the same inverse in the same cond*eps error class with the
     post-factor work on the MXU; see its docstring for the measured
-    ladder and the rejected alternatives."""
+    ladder and the rejected alternatives.
+
+    Round 5: the production refresh uses
+    :func:`invert_hermitian_unrolled` — the 15.8 ms wall was
+    ``jnp.linalg.cholesky``'s serial While loop itself, and the
+    unrolled complex potri removes it (measured 21.9 -> 8.5 ms at the
+    refresh shape, max |dP| 1.9e-6 on a P scale of 1.2 vs the
+    embedding path)."""
     R_re, R_im = _loaded(state.cov, state.load)
-    P_re, P_im = invert_hermitian(R_re, R_im)
+    P_re, P_im = invert_hermitian_unrolled(R_re, R_im)
     return PrecisionState(P_re=P_re, P_im=P_im, cov=state.cov,
                           load=state.load)
 
