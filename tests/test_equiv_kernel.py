@@ -132,3 +132,22 @@ def test_kernel_vmem_plan_chunks_frequencies():
     assert fused.n_fc > 1                     # F chunked at this shape
     assert fused.FP % fused.fc_len == 0
     assert fused.FP >= fused.F
+
+
+@pytest.mark.parametrize("algorithm", ["lerp", "pad"])
+def test_kernel_fd_sweep_matches_df(tiny_cfg, rng, algorithm):
+    """The direction-innermost sweep (round 5's recorded S-prefetch
+    experiment — S streams once per (frame, f)-chunk) must be
+    bit-identical to the default sweep; exercises the multi-f-chunk
+    aliased-accumulator path."""
+    from zybo_rt_sampler_image_detection_tpu.ops.equiv_kernel import (
+        FusedEquivBeamformer,
+    )
+    frames = np.stack([synth_frame(tiny_cfg, rng) for _ in range(3)])
+    t = beamform.make_tables(tiny_cfg, algorithm, cache=False)
+    df = FusedEquivBeamformer(t, plan_override=(8, 3))
+    fd = FusedEquivBeamformer(t, plan_override=(8, 3), sweep="fd")
+    np.testing.assert_array_equal(np.asarray(df(frames)),
+                                  np.asarray(fd(frames)))
+    with pytest.raises(ValueError):
+        FusedEquivBeamformer(t, sweep="xy")

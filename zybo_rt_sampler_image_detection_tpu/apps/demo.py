@@ -465,7 +465,8 @@ def cmd_sensorfusion(args):
     else:
         det = YoloDetector(model_path=args.weights,
                            cfg=YoloConfig(input_size=args.detector_size,
-                                          width_mult=args.detector_width))
+                                          width_mult=args.detector_width,
+                                          num_classes=args.detector_classes))
     tkw = (dict(max_age=args.track_coast, report_coasted=True)
            if getattr(args, "track_coast", 0) else {})
     if not fused_comp:            # the fused stage owns detect + track
@@ -729,6 +730,9 @@ def main(argv=None):
                    help="camera frame-rate cap (lower frees host CPU on "
                         "contended single-core machines)")
     p.add_argument("--weights", default=None, help="detector weights (.pkl)")
+    p.add_argument("--detector-classes", type=int, default=1,
+                   help="detector class count (--weights from "
+                        "train_reference_recipe are 3-class)")
     p.add_argument("--detector-size", type=int, default=224,
                    help="detector input size (px)")
     p.add_argument("--detector-width", type=float, default=0.5,

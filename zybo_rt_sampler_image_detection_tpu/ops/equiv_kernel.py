@@ -195,10 +195,11 @@ def _equiv_power_kernel(s_ref, h1_ref, h2_ref, ib1_ref, ib2_ref, sj_ref,
         out_ref[:, :] = power * inv
 
 
-def _equiv_power_kernel_fd(s_ref, h1_ref, h2_ref, ib1_ref, ib2_ref,
-                           sj_ref, wc_ref, out_ref, th_ref, *, n_fc,
-                           fc_len, n_tail, Tc, inv, th_precision,
-                           main_precision, three_pass):
+def _equiv_power_kernel_fd(pow_in_ref, th_in_ref, s_ref, h1_ref, h2_ref,
+                           ib1_ref, ib2_ref, sj_ref, wc_ref, out_ref,
+                           th_ref, *, n_fc, fc_len, n_tail, Tc, inv,
+                           th_precision, main_precision, three_pass,
+                           acc_from_out=False):
     """Direction-INNERMOST variant (round 5, the recorded S-prefetch
     experiment): grid = (frame-chunk, frequency-chunk, direction-tile).
 
@@ -210,11 +211,21 @@ def _equiv_power_kernel_fd(s_ref, h1_ref, h2_ref, ib1_ref, ib2_ref,
     n_fc x once per frame chunk — the minimum.  The price: the Parseval
     and tail/head accumulators can no longer live in per-cell VMEM
     scratch (the same (b, d) cell is revisited once per f-chunk with
-    other d tiles in between), so they become HBM OUTPUTS revisited
-    per chunk — out_ref accumulates raw power, th_ref the beam samples,
-    and the epilogue folds the corrections in on the last f-chunk.
-    Only meaningful when n_fc > 1 (single-chunk plans already fetch S
-    once).  Win-or-negative numbers: BENCHMARKS.md round 5.
+    other d tiles in between) — they round-trip through HBM as
+    input/output-ALIASED windows: Pallas does NOT reload an output
+    window on a non-consecutive revisit (measured: garbage power on
+    TPU, exact in interpret mode), but an aliased INPUT window
+    re-fetches the previous visit's write-back, n_d steps stale —
+    far beyond the pipeline depth.  Only meaningful when n_fc > 1
+    (single-chunk plans already fetch S once).
+
+    **Measured NEGATIVE** (2026-08-20, one v5e, reference shape,
+    B=256, exact vs df): bf16 (128,2) 33.6k vs df 40.2k maps/s; high
+    (64,3) 16.0k vs df 23.5k ((128,3) fd exceeds VMEM — the TH output
+    window + spills add ~41 MB).  The accumulator HBM round-trips
+    (TtP x Bc x TILE_D out+in per revisit) cost more than the saved S
+    re-fetches.  Kept gated (bit-exact vs df in CI) as the recorded
+    S-prefetch experiment; production stays on the default sweep.
     """
     fc_i = pl.program_id(1)
 
@@ -260,9 +271,17 @@ def _equiv_power_kernel_fd(s_ref, h1_ref, h2_ref, ib1_ref, ib2_ref,
 
     @pl.when(fc_i > 0)
     def _accum():
-        out_ref[:, :] = out_ref[:, :] + partial
+        # accumulate against the ALIASED INPUT windows (the previous
+        # visit's write-back) — on TPU out_ref/th_ref hold garbage on a
+        # non-consecutive revisit.  Interpret mode is the inverse: it
+        # does not alias buffers (pow_in stays zeros) but its out_ref
+        # reads are exact — acc_from_out switches the source at trace
+        # time so both backends run the correct variant.
+        pw = out_ref if acc_from_out else pow_in_ref
+        th = th_ref if acc_from_out else th_in_ref
+        out_ref[:, :] = pw[:, :] + partial
         if has_th:
-            th_ref[:, :, :] = th_ref[:, :, :] + th_part
+            th_ref[:, :, :] = th[:, :, :] + th_part
 
     @pl.when(fc_i == n_fc - 1)
     def _finish():
@@ -621,10 +640,18 @@ def _equiv_forward_flat(signals, kt: EquivKernelTables, meta):
             wc_spec = pl.BlockSpec((m.JMP, m.TcP, m.tile_d),
                                    lambda b, f, d: (0, 0, 0),
                                    memory_space=pltpu.VMEM)
+        pow0 = jnp.zeros((BP, m.DP), jnp.float32)
+        th0 = jnp.zeros((m.TtP, BP, m.DP), jnp.float32)
         power, _th = pl.pallas_call(
-            functools.partial(_equiv_power_kernel_fd, **kern_kw),
+            functools.partial(_equiv_power_kernel_fd,
+                              acc_from_out=m.interpret, **kern_kw),
             grid=(BP // Bc, m.n_fc, m.DP // m.tile_d),
             in_specs=[
+                pl.BlockSpec((Bc, m.tile_d), lambda b, f, d: (b, d),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((m.TtP, Bc, m.tile_d),
+                             lambda b, f, d: (0, b, d),
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((fc, Bc, m.KS), lambda b, f, d: (f, b, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((fc, m.KH, m.tile_d),
@@ -651,10 +678,11 @@ def _equiv_forward_flat(signals, kt: EquivKernelTables, meta):
                 jax.ShapeDtypeStruct((BP, m.DP), jnp.float32),
                 jax.ShapeDtypeStruct((m.TtP, BP, m.DP), jnp.float32),
             ],
+            input_output_aliases={0: 0, 1: 1},
             interpret=m.interpret,
             compiler_params=params,
             cost_estimate=cost,
-        )(S, kt.H1, kt.H2, kt.ib1, kt.ib2, sj, wc)
+        )(pow0, th0, S, kt.H1, kt.H2, kt.ib1, kt.ib2, sj, wc)
         return power
     power = pl.pallas_call(
         functools.partial(_equiv_power_kernel, **kern_kw),
