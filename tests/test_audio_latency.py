@@ -37,11 +37,15 @@ def test_mock_callback_sink_accounting():
     assert stall.underflow_ms > 100.0
 
 
-def _run_miso(port, batch, backend, n_frames=48, pace_div=8):
+def _run_miso(port, batch, backend, n_frames=3000, pace_div=8):
     cfg = zrt.Config.tiny().replace(udp_port=port)
     rng = np.random.default_rng(11)
     base = (rng.standard_normal(
         (cfg.n_microphones, cfg.n_samples)) * 0.05).astype(np.float32)
+    # a LONG paced stream: the stage anchors its gapless stream at the
+    # newest published frame when its loop starts (stream-start anchor),
+    # so frames must keep arriving through warmup/compile for the stage
+    # to have anything to measure
     frames = [(base * (1.0 + 0.01 * i)).astype(np.float32)
               for i in range(n_frames)]
     p = Pipeline(cfg, algorithm="lerp", replay_mode=True, backend=backend,
@@ -55,10 +59,13 @@ def _run_miso(port, batch, backend, n_frames=48, pace_div=8):
     p.connect(timeout=5.0)
     stage = p.start_miso_batched(batch=batch)
     deadline = time.time() + 30.0
-    while stage.processed < n_frames - batch and time.time() < deadline:
+    want = 12 * batch          # a dozen post-anchor batches is plenty
+    while stage.processed < want and time.time() < deadline:
         time.sleep(0.05)
     p.stop()
     rep = p.report()
+    assert stage.processed >= want, \
+        f"stage starved: {stage.processed}/{want}"
     return stage, rep
 
 

@@ -93,6 +93,10 @@ def test_fused_listen_gapless_and_parity(listen):
     sink = _CaptureSink()
     stage, q_cam, cam_hw = _make_stage(p, cfg, listen, sink,
                                        batch=2, mic_batch=Km)
+    # the demo wires the fused stage as the steer target; p.stop() must
+    # close the sink through the stage's AudioLeg (regression: it
+    # assumed a .sink attribute and crashed the demo at teardown)
+    p._miso = stage
     # a couple of camera frames so display cycles composit something;
     # later listening cycles run with an empty camera queue (n=0 path)
     for i in range(3):

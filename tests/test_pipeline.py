@@ -579,3 +579,43 @@ def test_web_metrics_and_hardened_routes():
     finally:
         server.shutdown()
         server.camera.stop()
+
+
+def test_batched_stage_anchors_at_stream_start():
+    """A batched consumer whose loop starts long after connect (the
+    remote compile service can hold warmup() for minutes while packets
+    flow) must anchor its counter-contiguous stream at the CURRENT
+    published counter: frames published pre-start predate the stream
+    and must not be zero-filled in as "underruns" (regression: the
+    fused listen demo recorded ~31k fake underruns after a 129 s
+    warmup because the loop anchored at counter 1)."""
+    cfg = zrt.Config.tiny().replace(udp_port=21962)
+    frames = _source_frames(cfg, 4, 3, n=3000)
+    p = Pipeline(cfg, algorithm="lerp", replay_mode=True,
+                 backend="python")
+    p.receiver.exact_reference = False
+    # paced well below line rate: the anchor consumes the ring-resident
+    # backlog first, and the consumer must catch up to live before the
+    # ring wraps past it (a 2x-line-rate stream would make that a race)
+    streamer.stream_in_background(cfg, frames, n_arrays=1, delay=0.2,
+                                  exact_reference=False,
+                                  rate=cfg.sample_rate / 4)
+    p.connect(timeout=5.0)
+    # a meaningful pre-start backlog (the "warmup window"): more than
+    # the ring holds, so an anchor-at-1 loop would be forced to skip
+    deadline = time.time() + 20
+    while (p.receiver.published_seq < p.receiver.ring_frames + 16
+           and time.time() < deadline):
+        time.sleep(0.05)
+    assert p.receiver.published_seq > p.receiver.ring_frames
+    from zybo_rt_sampler_image_detection_tpu.utils import audio as audio_mod
+    stage = p.make_miso_batched(batch=4, sink=audio_mod.NullSink())
+    stage.warmup()
+    p.run_stage(stage)
+    deadline = time.time() + 20
+    while stage.processed < 40 and time.time() < deadline:
+        time.sleep(0.05)
+    p.stop()
+    assert stage.processed >= 40
+    assert stage.underrun_frames == 0, \
+        "pre-start frames counted as underruns (anchor regression)"

@@ -580,7 +580,14 @@ class FusedSensorStage(Stage):
 
         finisher = threading.Thread(target=_drain, daemon=True)
         finisher.start()
-        next_seq = 1
+        # stream-start anchor: consume everything the ring still holds
+        # (the gapless contract loses NOTHING that is still available —
+        # the consumer outpaces line rate, so a ring-deep backlog clears
+        # in under a second), but frames published between connect() and
+        # this loop BEYOND the ring (e.g. during a minutes-long remote
+        # compile in warmup) predate the stream and must not be
+        # zero-filled in as underruns.
+        next_seq = self.receiver.stream_anchor_seq
         try:
             while not self.stop_event.is_set():
                 tc0 = time.perf_counter()
@@ -627,9 +634,14 @@ class FusedSensorStage(Stage):
                 else:           # listening cycle with no camera frame
                     cams = self._last_cams
                 if not self.listen:
-                    mic, first, skipped = self.receiver.read_batch(
-                        self.batch, next_seq, timeout=1.0,
-                        channels=self.channels)
+                    try:
+                        mic, first, skipped = self.receiver.read_batch(
+                            self.batch, next_seq, timeout=1.0,
+                            channels=self.channels)
+                    except TimeoutError:
+                        # native backend raises where the python twin
+                        # returns None (frame source paused/finished)
+                        continue
                     if mic is None:
                         continue
                     next_seq = first + self.batch

@@ -529,7 +529,10 @@ class BatchedStage(Stage):
         self.consume(host, first, skipped, stamps)
 
     def run(self):
-        next_seq = 1
+        # stream-start anchor: consume everything the ring still holds,
+        # but a pre-start backlog beyond the ring (connect -> warmup can
+        # span a minutes-long remote compile) must not count as skips
+        next_seq = self.receiver.stream_anchor_seq
         pending = None
         while not self.stop_event.is_set():
             if self.max_rate and self._rate_t0 is not None:
@@ -1349,7 +1352,13 @@ class Pipeline:
             s.join(timeout=2.0)
         self.receiver.disconnect()
         if self._miso is not None:
-            self._miso.sink.close()
+            # _miso is either a listening stage (owns .sink) or a fused
+            # display stage with embedded listening (sink lives on its
+            # AudioLeg) — close whichever is present
+            leg = getattr(self._miso, "audio", None) or self._miso
+            sink = getattr(leg, "sink", None)
+            if sink is not None:
+                sink.close()
 
     def report(self):
         rep = self.metrics.report()

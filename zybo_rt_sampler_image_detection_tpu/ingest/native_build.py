@@ -76,6 +76,13 @@ class NativeIngest:
             ctypes.c_longlong, ctypes.c_double]
         lib.zrt_emulate_sent.restype = ctypes.c_longlong
         self._cfg = None
+        # idempotent teardown BEFORE CPython static destruction: a
+        # process exiting with the receive thread alive (crash paths
+        # that skip pipeline.stop()) hits the C++ "terminate called
+        # without an active exception" in the std::thread destructor
+        import atexit
+        atexit.register(self.disconnect)
+        atexit.register(self._lib.zrt_emulate_stop)
 
     def connect(self, cfg, ip: str, timeout: float,
                 exact_reference: bool, ring_frames: int = 64) -> int:

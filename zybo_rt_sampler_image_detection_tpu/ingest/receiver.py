@@ -339,6 +339,39 @@ class Receiver:
             return self._native.stats()
         return self.stats
 
+    @property
+    def published_seq(self) -> int:
+        """Newest published ring counter (0 before the first frame).
+
+        Stream-start anchor for batched consumers: a stage whose loop
+        begins long after :meth:`connect` (the remote compile service
+        can hold ``warmup()`` for minutes while packets flow) must start
+        its counter-contiguous stream HERE, not at counter 1 —
+        otherwise every frame published during compile is zero-filled
+        into the audio stream as a fake "underrun"."""
+        if self._native is not None:
+            # the native ring counter and the frames stat are written
+            # by the same publish step (ingest.cpp publish path)
+            return int(self._native.stats().frames)
+        return int(self.buffer._seq)
+
+    @property
+    def stream_anchor_seq(self) -> int:
+        """Oldest counter still resident in the ring (1 before wrap).
+
+        Stream-start anchor for FULL-RATE batched consumers: start the
+        counter-contiguous stream at the oldest frame the ring still
+        holds — everything available is consumed (the hermetic tests
+        publish a finite stream before the loop starts and expect every
+        frame), while a long pre-start backlog (e.g. frames published
+        during a minutes-long remote compile in ``warmup()``) beyond the
+        ring is NOT zero-filled in as fake "underruns".  A low-latency
+        consumer that prefers to drop the resident backlog too can
+        anchor at ``published_seq + 1`` instead (none do today: the
+        batched consumers outpace line rate, so the ring-deep backlog
+        clears in under a second)."""
+        return max(1, self.published_seq - self.ring_frames + 1)
+
 
 # ---------------------------------------------------------------------------
 # module-level API with main.pyx ergonomics
